@@ -1,0 +1,271 @@
+"""Fourier-accelerated kernel matvecs ("fastsum") — the NFFT replacement.
+
+Rebuild of SRC/external/nfft_interface.c + the NFFT3 fastsum engine, designed
+for the MXU instead of gridding windows:
+
+1. Geometry (once per dataset, nfft_interface.c:150-213): center points by
+   the per-dim mean, compute the max radius, scale so radius <= 1/4 (scale =
+   0.25/radius when radius is outside [1/8, 1/4]); precompute the per-dim
+   phase matrices E_d[i, k] = exp(-2*pi*1j * k * x_i[d]) for the N modes
+   k in [-N/2, N/2).
+
+2. Coefficients (per hyperparameters, cheap): the periodized kernel's Fourier
+   coefficients b_k = (1/N^d) sum_j phi(||x_j||) e^{-2 pi i k.x_j} over the
+   regular N^d torus grid — exactly what fastsum computes with its defaults
+   p=1, eps_I=eps_B=0 (no near-field regularization; nfft_interface.c:18-27).
+   phi is the base kernel evaluated at true distance r'/scale; a second
+   coefficient set holds the analytic dk/dl samples (the derivative kernels
+   xx_gaussian / der_laplacian_rbf of nfft_interface.c:219-231).
+
+3. Apply: K x ~= f^2 (Re[ NDFT2( b * NDFT1(x) ) ] + mu x)
+   where NDFT1/NDFT2 are the EXACT adjoint/forward nonequispaced DFTs
+   realized as dense phase-matrix contractions — separable over dims, so the
+   cost is O(n N) (d=1), O(n N^2) (d=2), N * O(n N^2) (d=3), all batched
+   GEMMs on the systolic array.  Unlike NFFT's windowed gridding there is NO
+   window approximation error; accuracy matches fastsum's periodization +
+   truncation error (TEST1 oracle).
+
+Additive kernels (nfft_interface.c:622-840): one plan per feature window,
+vmapped within groups of equal window dimension; the per-window outputs are
+averaged and the noise term added once.
+"""
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.pytree import pytree_dataclass
+from .kernels import KernelParams, base_kernel, _BASE_KERNELS
+
+
+def _complex_dtype(real_dtype):
+    return jnp.complex128 if real_dtype == jnp.float64 else jnp.complex64
+
+
+@pytree_dataclass(static_fields=("N", "d"))
+class FastsumGeometry:
+    """Per-dataset NDFT geometry: scaled points + phase matrices."""
+
+    N: int
+    d: int
+    x: jnp.ndarray          # (n, d) centered+scaled points, radius <= 1/4
+    scale: jnp.ndarray      # scalar coordinate scale
+    E: jnp.ndarray          # (d, n, N) complex: exp(-2 pi i k x)
+
+
+def fastsum_geometry(X, N: int = 32) -> FastsumGeometry:
+    """Center/scale points and precompute phase matrices.
+
+    Ref: nfft_interface.c:150-213 (mean-centering, radius in [1/8, 1/4]).
+    """
+    n, d = X.shape
+    center = jnp.mean(X, axis=0)
+    xc = X - center[None, :]
+    radius = jnp.max(jnp.sqrt(jnp.sum(xc * xc, axis=1)))
+    need = (radius > 0.25) | (radius < 0.125)
+    scale = jnp.where(need, 0.25 / radius, 1.0)
+    x = xc * scale
+
+    k = jnp.arange(-(N // 2), N - N // 2, dtype=X.dtype)  # [-N/2, N/2)
+    cdtype = _complex_dtype(X.dtype)
+    phase = -2.0 * jnp.pi * x[:, :, None] * k[None, None, :]   # (n, d, N)
+    E = jnp.exp(1j * phase.astype(X.dtype)).astype(cdtype)
+    E = jnp.moveaxis(E, 1, 0)                                   # (d, n, N)
+    return FastsumGeometry(N=N, d=d, x=x, scale=scale, E=E)
+
+
+@pytree_dataclass(static_fields=("N", "d", "kind"))
+class FastsumPlan:
+    """Kernel-specific plan: geometry + Fourier coefficient stacks.
+
+    The fast matrix IS the plan (nfft_interface.c:258-259).
+    """
+
+    N: int
+    d: int
+    kind: str
+    geom: FastsumGeometry
+    b: jnp.ndarray          # (N,)*d kernel coefficients (shifted order)
+    db_l: jnp.ndarray       # (N,)*d coefficients of dk/dl
+    params: KernelParams
+
+
+def _torus_grid_r2(N: int, d: int, dtype):
+    """Squared radii of the N^d torus grid [-1/2, 1/2)^d in fft order."""
+    g = jnp.fft.fftfreq(N, d=1.0 / N).astype(dtype) / N  # j/N wrapped to [-1/2,1/2)
+    grids = jnp.meshgrid(*([g] * d), indexing="ij")
+    return sum(gi * gi for gi in grids)
+
+
+def fastsum_coeffs(kind: str, params: KernelParams, geom: FastsumGeometry) -> FastsumPlan:
+    """Sample the (scaled) kernel on the torus grid and FFT — per params."""
+    N, d = geom.N, geom.d
+    dtype = geom.x.dtype
+    r2g = _torus_grid_r2(N, d, dtype)
+    r2_true = r2g / (geom.scale * geom.scale)
+    k_samp, dk_dl_samp = _BASE_KERNELS[kind](r2_true, params.l)
+
+    # fftshift moves k=0 to index N/2: index m corresponds to k = m - N/2,
+    # matching the mode order of the phase matrices E
+    b = jnp.fft.fftshift(jnp.fft.fftn(k_samp)) / (N**d)
+    db_l = jnp.fft.fftshift(jnp.fft.fftn(dk_dl_samp)) / (N**d)
+    return FastsumPlan(N=N, d=d, kind=kind, geom=geom, b=b, db_l=db_l, params=params)
+
+
+def fastsum_build(kind: str, params: KernelParams, X, N: int = 32) -> FastsumPlan:
+    return fastsum_coeffs(kind, params, fastsum_geometry(X, N))
+
+
+# --- exact separable NDFTs -------------------------------------------------
+
+def _ndft_adjoint(E, alpha):
+    """\\hat e_k = sum_i alpha_i prod_d E[d, i, k_d]; returns (N,)*d tensor."""
+    d = E.shape[0]
+    ac = alpha.astype(E.dtype)
+    if d == 1:
+        return E[0].T @ ac
+    if d == 2:
+        return (E[0] * ac[:, None]).T @ E[1]
+    if d == 3:
+        # loop over the last dim's modes: N small batched GEMMs
+        def one_mode(e3_col):
+            w = ac * e3_col
+            return (E[0] * w[:, None]).T @ E[1]
+
+        out = jax.vmap(one_mode, in_axes=1, out_axes=2)(E[2])
+        return out
+    raise NotImplementedError(f"fastsum supports window dims 1..3, got {d}")
+
+
+def _ndft_forward(E, c):
+    """f_i = sum_k c_k prod_d conj(E[d, i, k_d]); returns (n,) complex."""
+    d = E.shape[0]
+    Ec = [jnp.conj(E[i]) for i in range(d)]
+    if d == 1:
+        return Ec[0] @ c
+    if d == 2:
+        return jnp.sum((Ec[0] @ c) * Ec[1], axis=1)
+    if d == 3:
+        def one_mode(c2, e3_col):
+            return jnp.sum((Ec[0] @ c2) * Ec[1], axis=1) * e3_col
+
+        parts = jax.vmap(one_mode, in_axes=(2, 1), out_axes=0)(c, Ec[2])
+        return jnp.sum(parts, axis=0)
+    raise NotImplementedError
+
+
+def fastsum_base_apply(plan: FastsumPlan, coeffs, x):
+    """Re[ NDFT2( coeffs * NDFT1(x) ) ] — the pure kernel-sum (no f^2/mu)."""
+    e_hat = _ndft_adjoint(plan.geom.E, x)
+    return jnp.real(_ndft_forward(plan.geom.E, coeffs.astype(e_hat.dtype) * e_hat)).astype(x.dtype)
+
+
+def fastsum_matvec(plan: FastsumPlan, x):
+    """y = f^2 (ksum(x) + mu x) — ref Nfft4GPNFFTMatSymv nfft_interface.c:400-497."""
+    p = plan.params
+    f2 = p.f * p.f
+    return f2 * (fastsum_base_apply(plan, plan.b, x) + p.mu * x)
+
+
+def fastsum_grad_matvec(plan: FastsumPlan, x):
+    """(3, n) stacked dK_j x — ref nfft_interface.c:499-620."""
+    p = plan.params
+    f2 = p.f * p.f
+    e_hat = _ndft_adjoint(plan.geom.E, x)
+    k_part = jnp.real(_ndft_forward(plan.geom.E, plan.b.astype(e_hat.dtype) * e_hat)).astype(x.dtype)
+    dl_part = jnp.real(_ndft_forward(plan.geom.E, plan.db_l.astype(e_hat.dtype) * e_hat)).astype(x.dtype)
+    y_f = 2.0 * p.f * (k_part + p.mu * x)
+    y_l = f2 * dl_part
+    y_mu = f2 * x
+    return jnp.stack([y_f, y_l, y_mu])
+
+
+# --- additive (windowed) fastsum ------------------------------------------
+
+class AdditiveFastsumGeometry(NamedTuple):
+    """Per-window geometries grouped by window dimensionality.
+
+    groups: list of (dims_tuple_members, FastsumGeometry-batched) pairs where
+    the batched geometry stacks E as (Wg, dw, n, N).
+    """
+
+    n_windows: int
+    groups: tuple   # tuple of (dw, batched FastsumGeometry)
+
+
+def additive_fastsum_geometry(X, windows, N: int = 32) -> AdditiveFastsumGeometry:
+    """One NDFT geometry per feature window (ref nfft_interface.c:622-674).
+
+    windows: (W, dw_max) padded index array (-1 = padding).  Windows are
+    grouped by effective dimension so each group vmaps as one batch.
+    """
+    windows = np.asarray(windows)
+    W = windows.shape[0]
+    by_dim = {}
+    for w in range(W):
+        feats = tuple(int(f) for f in windows[w] if f >= 0)
+        by_dim.setdefault(len(feats), []).append((w, feats))
+
+    groups = []
+    for dw, members in sorted(by_dim.items()):
+        geos = [fastsum_geometry(X[:, list(feats)], N) for _, feats in members]
+        batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *geos)
+        order = tuple(w for w, _ in members)
+        groups.append((dw, order, batched))
+    return AdditiveFastsumGeometry(n_windows=W, groups=tuple(groups))
+
+
+class AdditiveFastsumPlan(NamedTuple):
+    n_windows: int
+    groups: tuple           # tuple of (dw, window_ids, batched FastsumPlan)
+    params: KernelParams
+
+
+def additive_fastsum_coeffs(
+    kind: str, params: KernelParams, geom: AdditiveFastsumGeometry
+) -> AdditiveFastsumPlan:
+    plan_groups = []
+    for dw, order, bg in geom.groups:
+        plans = jax.vmap(lambda g: fastsum_coeffs(kind, params, g))(bg)
+        plan_groups.append((dw, order, plans))
+    return AdditiveFastsumPlan(n_windows=geom.n_windows, groups=tuple(plan_groups), params=params)
+
+
+def additive_fastsum_build(kind, params, X, windows, N: int = 32):
+    return additive_fastsum_coeffs(kind, params, additive_fastsum_geometry(X, windows, N))
+
+
+def additive_fastsum_matvec(plan: AdditiveFastsumPlan, x):
+    """y = f^2 ( mean_w ksum_w(x) + mu x ) — ref nfft_interface.c:796-817."""
+    p = plan.params
+    acc = jnp.zeros_like(x)
+    for dw, order, plans in plan.groups:
+        contrib = jax.vmap(lambda pl: fastsum_base_apply(pl, pl.b, x))(plans)
+        acc = acc + jnp.sum(contrib, axis=0)
+    f2 = p.f * p.f
+    return f2 * (acc / plan.n_windows + p.mu * x)
+
+
+def additive_fastsum_grad_matvec(plan: AdditiveFastsumPlan, x):
+    """(3, n) — ref Nfft4GPAdditiveNFFTGradMatSymv nfft_interface.c:819-840."""
+    p = plan.params
+    k_acc = jnp.zeros_like(x)
+    l_acc = jnp.zeros_like(x)
+    for dw, order, plans in plan.groups:
+        def one(pl):
+            e_hat = _ndft_adjoint(pl.geom.E, x)
+            kp = jnp.real(_ndft_forward(pl.geom.E, pl.b.astype(e_hat.dtype) * e_hat))
+            lp = jnp.real(_ndft_forward(pl.geom.E, pl.db_l.astype(e_hat.dtype) * e_hat))
+            return kp.astype(x.dtype), lp.astype(x.dtype)
+
+        kps, lps = jax.vmap(one)(plans)
+        k_acc = k_acc + jnp.sum(kps, axis=0)
+        l_acc = l_acc + jnp.sum(lps, axis=0)
+    W = plan.n_windows
+    f2 = p.f * p.f
+    y_f = 2.0 * p.f * (k_acc / W + p.mu * x)
+    y_l = f2 * (l_acc / W)
+    y_mu = f2 * x
+    return jnp.stack([y_f, y_l, y_mu])

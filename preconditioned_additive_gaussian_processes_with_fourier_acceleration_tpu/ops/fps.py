@@ -1,0 +1,60 @@
+"""Farthest point sampling (FPS) ordering.
+
+TPU-native rebuild of the reference's *parallel* FPS variant
+(ref: SRC/linearalg/ordering.c:422-712 — Nfft4GPSortFpsPar1): keep a running
+min-distance-to-landmarks vector, each round pick its argmax and relax all
+distances — O(nk) distance relaxations, each a fused VPU pass, with the
+argmax a full reduction (a psum-like collective when sharded).
+
+The sequential heap variant (ordering.c:36-421) is host-irregular and not
+needed: both produce valid FPS orderings (SURVEY.md §7 "hard parts").
+
+Starting point: the point nearest the data mean (ordering.c:110-143).
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class FpsResult(NamedTuple):
+    perm: jnp.ndarray    # (k,) selected indices in selection order
+    dists: jnp.ndarray   # (k,) cover radius at each selection (dists[0]=inf)
+
+
+def fps(X, k: int) -> FpsResult:
+    """Select k farthest-point-sampled landmarks from X (n, d)."""
+    n = X.shape[0]
+    mean = jnp.mean(X, axis=0)
+    d2mean = jnp.sum((X - mean[None, :]) ** 2, axis=1)
+    start = jnp.argmin(d2mean)
+
+    xx = jnp.sum(X * X, axis=1)
+
+    def dist2_to(i):
+        return jnp.maximum(xx + xx[i] - 2.0 * (X @ X[i]), 0.0)
+
+    dist0 = dist2_to(start)
+    perm0 = jnp.zeros((k,), jnp.int32).at[0].set(start.astype(jnp.int32))
+    dists0 = jnp.full((k,), jnp.inf, X.dtype)
+
+    def body(i, carry):
+        dist, perm, dists = carry
+        nxt = jnp.argmax(dist)
+        dists = dists.at[i].set(jnp.sqrt(dist[nxt]))
+        perm = perm.at[i].set(nxt.astype(jnp.int32))
+        dist = jnp.minimum(dist, dist2_to(nxt))
+        return (dist, perm, dists)
+
+    dist, perm, dists = lax.fori_loop(1, k, body, (dist0, perm0, dists0))
+    return FpsResult(perm=perm, dists=dists)
+
+
+def fps_full_perm(X, k: int):
+    """FPS prefix expanded to a full n-permutation (remaining ascending)."""
+    from ..utils.datasets import expand_perm
+
+    res = fps(X, k)
+    return expand_perm(res.perm, X.shape[0]), res

@@ -1,0 +1,146 @@
+"""Dense/structured matrix helpers.
+
+TPU equivalents of SRC/linearalg/matops.c: LAPACK calls become
+jax.scipy.linalg (cholesky / solve_triangular / svd), CSR sparse triangular
+factors become padded-ELL (n x lfil dense index/value arrays) so every row
+has static shape and the apply is gather + batched dot (SURVEY.md §2.16).
+"""
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+
+def stable_chol(K, extra_shift: float = 0.0):
+    """Cholesky with the reference's stabilization shift.
+
+    nu = sqrt(n) * ulp(||K||_F) added to the diagonal before factorization
+    (ref: chol.c:448-464; MATLAB ran_setup.m:22-83 uses eps(norm)).
+    Returns (L, nu).
+    """
+    n = K.shape[0]
+    fro = jnp.linalg.norm(K)
+    nu = jnp.sqrt(jnp.asarray(float(n), K.dtype)) * jnp.spacing(fro) + extra_shift
+    L = jnp.linalg.cholesky(K + nu * jnp.eye(n, dtype=K.dtype))
+    return L, nu
+
+
+def chol_solve(L, b):
+    """Solve (L L^T) x = b via two triangular solves (ref: chol.c:111-137).
+
+    b may be (n,) or (n, m).
+    """
+    y = solve_triangular(L, b, lower=True)
+    return solve_triangular(L.T, y, lower=False)
+
+
+def tril_solve(L, b):
+    return solve_triangular(L, b, lower=True)
+
+
+def triu_solve(L, b):
+    """Solve L^T x = b for lower-triangular L."""
+    return solve_triangular(L.T, b, lower=False)
+
+
+# --- padded-ELL sparse lower-triangular format -----------------------------
+# Rows of a lower-triangular sparse matrix G stored as
+#   idx: (n, lfil) int32 column indices, padded entries point at the row's
+#        own diagonal position but carry value 0
+#   val: (n, lfil) values
+# The diagonal entry of row i is always the LAST valid slot (matching the
+# reference's CSR convention where A_j[row end - 1] == i, fsai.c:385-397).
+
+
+def ell_matvec(idx, val, x):
+    """y = G x for padded-ELL G: gather + row-wise dot."""
+    return jnp.sum(val * x[idx], axis=1)
+
+
+def ell_rmatvec(idx, val, x, n=None):
+    """y = G^T x for padded-ELL G: scatter-add."""
+    n = n if n is not None else x.shape[0]
+    contrib = val * x[:, None]
+    return jnp.zeros((n,), x.dtype).at[idx.reshape(-1)].add(contrib.reshape(-1))
+
+
+def ell_diag(idx, val, diag_slot):
+    """Diagonal of G when the diagonal sits at a known slot per row."""
+    return val[jnp.arange(val.shape[0]), diag_slot]
+
+
+def _ell_block_dense(idx, val, lo, B, n):
+    """Densify the (B, B) diagonal block [lo:lo+B, lo:lo+B] of ELL G."""
+    rows = lo + jnp.arange(B)
+    bidx = idx[rows]                       # (B, lfil) global cols
+    bval = val[rows]
+    local = bidx - lo
+    inblk = (local >= 0) & (local < B) & (rows[:, None] < n)
+    local = jnp.clip(local, 0, B - 1)
+    r = jnp.broadcast_to(jnp.arange(B)[:, None], bidx.shape)
+    dense = jnp.zeros((B, B), val.dtype).at[r.reshape(-1), local.reshape(-1)].add(
+        jnp.where(inblk, bval, 0.0).reshape(-1)
+    )
+    # pad out-of-range rows with identity so the block solve is well-posed
+    pad = rows >= n
+    dense = dense + jnp.diag(pad.astype(val.dtype))
+    return dense, rows
+
+
+def ell_tril_solve(idx, val, b, *, block: int = 256):
+    """Solve G y = b for lower-triangular padded-ELL G.
+
+    Blocked forward substitution: n/block sequential steps, each a dense
+    (block x block) triangular solve (XLA TriangularSolve) plus an ELL
+    gather-dot for the already-solved prefix.  This replaces the reference's
+    inherently sequential CSR substitution (fsai.c:675-729) with a
+    TPU-viable O(n/block)-depth schedule.
+    """
+    n = b.shape[0]
+    nb = -(-n // block)
+    npad = nb * block
+    y = jnp.zeros((npad,), b.dtype)
+    bpad = jnp.zeros((npad,), b.dtype).at[:n].set(b)
+
+    def body(k, y):
+        lo = k * block
+        dense, rows = _ell_block_dense(idx, val, lo, block, n)
+        # contribution of already-solved entries (cols < lo)
+        bidx = idx[rows]
+        bval = val[rows]
+        prev = jnp.where(bidx < lo, bval, 0.0)
+        ypad_g = y[jnp.clip(bidx, 0, npad - 1)]
+        rhs = bpad[lo + jnp.arange(block)] - jnp.sum(prev * ypad_g, axis=1)
+        sol = jax.scipy.linalg.solve_triangular(dense, rhs, lower=True)
+        return jax.lax.dynamic_update_slice(y, sol, (lo,))
+
+    y = jax.lax.fori_loop(0, nb, body, y)
+    return y[:n]
+
+
+def ell_triu_solve(idx, val, b, *, block: int = 256):
+    """Solve G^T y = b for lower-triangular padded-ELL G (backward)."""
+    n = b.shape[0]
+    nb = -(-n // block)
+    npad = nb * block
+    y = jnp.zeros((npad,), b.dtype)
+    # residual r tracks b minus contributions of already-solved tail rows
+    rpad = jnp.zeros((npad,), b.dtype).at[:n].set(b)
+
+    def body(kk, carry):
+        y, r = carry
+        k = nb - 1 - kk
+        lo = k * block
+        dense, rows = _ell_block_dense(idx, val, lo, block, n)
+        rhs = jax.lax.dynamic_slice(r, (lo,), (block,))
+        sol = jax.scipy.linalg.solve_triangular(dense.T, rhs, lower=False)
+        y = jax.lax.dynamic_update_slice(y, sol, (lo,))
+        # subtract G[block_rows, cols < lo]^T sol from r (scatter)
+        bidx = idx[rows]
+        bval = jnp.where(bidx < lo, val[rows], 0.0)
+        contrib = bval * sol[:, None]
+        r = r.at[jnp.clip(bidx, 0, npad - 1).reshape(-1)].add(-contrib.reshape(-1))
+        return (y, r)
+
+    y, _ = jax.lax.fori_loop(0, nb, body, (y, rpad))
+    return y[:n]

@@ -1,0 +1,308 @@
+"""AFN preconditioner: Nyström on FPS landmarks + FSAI on the implicit
+Schur-complement kernel.
+
+Rebuild of the MATLAB reference (the only complete AFN — SURVEY.md §2.9):
+afn_setup.m:30-109, afn_solve.m, afn_logdet.m, afn_trace.m, afn_dvp.m, with
+the control-flow intent corroborated by SRC/preconds/afn.c:161-485.
+
+Structure (k landmarks, n2 = n - k Schur points, permuted order):
+      | K11   K12 |                  U = | L11'   L11^{-1} K12 |
+  K = | K12'  K22 |,   M = U' U,         | 0      G^{-T}       |
+with L11 = chol(K11) (noise included — same-set kernel evaluation) and G the
+FSAI factor of the implicit Schur kernel
+  S(i,j) = K22(i,j) - (G K12)_i' (G K12)_j      (schurCombinedKernelMat.m)
+evaluated only on the FSAI pattern blocks — S is never materialized.
+
+- solve (afn_solve.m:39-69):   zl = xl - K12'(K11^{-1} xu); yl = G'G zl;
+                               yu = K11^{-1}(xu - K12 yl)
+- logdet (afn_logdet.m:24-27): 2(sum log diag L11 + sum log 1/diag G)
+- trace (afn_trace.m:26-48):   2 sum diag(dU)/diag(U)  — exact tr(M^{-1}dM)
+                               because U is triangular
+- dvp (afn_dvp.m): px = M^{-1}(dU'U + U'dU) z, using dL11 = L phi(L^{-1}
+  dK11 L^{-T}) (the cholesky differential) and the FSAI dG rows
+
+Setup control flow (afn_setup.m:58-98): rank estimation; FPS landmarks; if
+estimated rank < maxrank the preconditioner IS plain Nyström on those points
+(the "RAN" fallback); otherwise the AFN factorization above.
+"""
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.pytree import pytree_dataclass
+from ..utils.datasets import expand_perm
+from ..ops.matops import (
+    stable_chol,
+    chol_solve,
+    tril_solve,
+    triu_solve,
+    ell_matvec,
+    ell_rmatvec,
+)
+from ..ops.fps import fps
+from ..ops.knn import knn_pattern
+from ..ops.rankest import estimate_rank, RankestConfig
+from ..ops.kernels import (
+    KernelParams,
+    kernel_matrix,
+    kernel_matrix_with_grad,
+    additive_kernel_matrix,
+    additive_kernel_matrix_with_grad,
+)
+from .fsai import FsaiPrecond, fsai_rows_from_blocks
+from .nystrom import NystromPrecond, nystrom_setup
+
+
+def _phi(A):
+    """Cholesky-differential half operator: tril(A,-1) + diag(A)/2."""
+    return jnp.tril(A, -1) + 0.5 * jnp.diag(jnp.diag(A))
+
+
+@pytree_dataclass
+class AfnPrecond:
+    perm: jnp.ndarray              # (n,) FPS-expanded permutation
+    L11: jnp.ndarray               # (k, k)
+    K12: jnp.ndarray               # (k, n2)
+    GK12: jnp.ndarray              # (k, n2) = L11^{-1} K12
+    gs: FsaiPrecond                # FSAI of the implicit Schur kernel (size n2)
+    # gradient extras
+    dL11: Optional[jnp.ndarray]    # (3, k, k)
+    dK12: Optional[jnp.ndarray]    # (3, k, n2)
+
+    @property
+    def k(self):
+        return self.L11.shape[0]
+
+    @property
+    def n(self):
+        return self.perm.shape[0]
+
+    def _chol_solve(self, b):
+        return chol_solve(self.L11, b)
+
+    def solve(self, r):
+        x = r[self.perm]
+        k = self.k
+        xu, xl = x[:k], x[k:]
+        zl = xl - self.K12.T @ self._chol_solve(xu)
+        yl = self.gs.solve(zl)
+        yu = self._chol_solve(xu - self.K12 @ yl)
+        y = jnp.concatenate([yu, yl])
+        return jnp.zeros_like(y).at[self.perm].set(y)
+
+    def logdet(self):
+        return 2.0 * (
+            jnp.sum(jnp.log(jnp.diag(self.L11))) - jnp.sum(jnp.log(self.gs.val[:, -1]))
+        )
+
+    def trace(self):
+        dldiag = jnp.diagonal(self.dL11, axis1=1, axis2=2)  # (3, k)
+        ldiag = jnp.diag(self.L11)
+        gdiag = self.gs.val[:, -1]
+        dgdiag = self.gs.dval[:, :, -1]                     # (3, n2)
+        return 2.0 * (
+            jnp.sum(dldiag / ldiag[None, :], axis=1)
+            - jnp.sum(dgdiag / gdiag[None, :], axis=1)
+        )
+
+    def _dM_apply(self, z):
+        """(3, n) stacked dM_j z in permuted order (afn_dvp.m)."""
+        k = self.k
+        xu, xl = z[:k], z[k:]
+        L = self.L11
+        K12 = self.K12
+
+        # U z
+        K12xl = tril_solve(L, K12 @ xl)                # L^{-1} K12 xl
+        z1u = L.T @ xu + K12xl
+        z1l = self.gs.solve_Gt(xl)                     # G^{-T} xl
+        t = triu_solve(L, z1u)                         # L^{-T} z1u
+        Giz1l = self.gs.solve_G(z1l)                   # G^{-1} z1l
+
+        def one(dL, dK12j, dvj):
+            # y1 = dU' (U z)
+            y1u = dL @ z1u
+            y1l = (
+                dK12j.T @ t
+                - K12.T @ triu_solve(L, dL.T @ t)
+                - self.gs.solve_G(ell_matvec(self.gs.idx, dvj, Giz1l))
+            )
+            # y2 = U' (dU z)
+            z2l = -self.gs.solve_Gt(
+                ell_rmatvec(self.gs.idx, dvj, z1l)     # dG' (G^{-T} xl)
+            )
+            y2u_i = dK12j @ xl - dL @ K12xl
+            z2u = dL.T @ xu + tril_solve(L, y2u_i)
+            y2u = L @ z2u
+            y2l = K12.T @ triu_solve(L, z2u) + self.gs.solve_G(z2l)
+            return jnp.concatenate([y1u + y2u, y1l + y2l])
+
+        return jax.vmap(one)(self.dL11, self.dK12, self.gs.dval)
+
+    def dvp(self, z):
+        """(3, n) px_j = M^{-1} dM_j z — E[z' px_j] = trace()[j]."""
+        zp = z[self.perm]
+        dMz = self._dM_apply(zp)
+
+        def solve_permuted(x):
+            k = self.k
+            xu, xl = x[:k], x[k:]
+            zl = xl - self.K12.T @ self._chol_solve(xu)
+            yl = self.gs.solve(zl)
+            yu = self._chol_solve(xu - self.K12 @ yl)
+            return jnp.concatenate([yu, yl])
+
+        px = jax.vmap(solve_permuted)(dMz)
+        return jax.vmap(lambda y: jnp.zeros_like(y).at[self.perm].set(y))(px)
+
+
+class AfnPlan(NamedTuple):
+    """Static structure decided once per dataset (host side)."""
+
+    perm: np.ndarray        # (n,) FPS-expanded permutation
+    k: int                  # landmark count
+    use_ran: bool           # True -> plain Nyström fallback
+    pattern: tuple          # (idx, mask) KNN pattern on the Schur points
+
+
+def afn_plan(
+    kind: str,
+    params: KernelParams,
+    X,
+    *,
+    maxrank: int = 200,
+    lfil: int = 20,
+    key=None,
+    rank: Optional[int] = None,
+    rankest_cfg: RankestConfig = RankestConfig(),
+    force_afn: bool = False,
+) -> AfnPlan:
+    """Rank estimation + FPS + pattern construction (afn_setup.m:58-78)."""
+    n = X.shape[0]
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if rank is None:
+        rank = estimate_rank(kind, params, X, key, rankest_cfg)
+    k = min(rank, maxrank, n)
+    use_ran = (k < maxrank) and not force_afn
+    k = max(k, 1)
+
+    perm_k = fps(X, k).perm
+    perm = np.asarray(expand_perm(perm_k, n))
+    if use_ran:
+        pattern = (np.zeros((0, lfil), np.int32), np.zeros((0, lfil), bool))
+    else:
+        X2 = X[perm[k:]]
+        idx, mask = knn_pattern(X2, lfil)
+        pattern = (np.asarray(idx), np.asarray(mask))
+    return AfnPlan(perm=perm, k=k, use_ran=use_ran, pattern=pattern)
+
+
+def afn_setup_from_plan(
+    kind: str,
+    params: KernelParams,
+    X,
+    plan: AfnPlan,
+    *,
+    require_grad: bool = False,
+    windows=None,
+):
+    """Numeric factorization for a fixed plan — jittable, re-run per params."""
+    if plan.use_ran:
+        return nystrom_setup(
+            kind, params, X, jnp.asarray(plan.perm), plan.k,
+            require_grad=require_grad, windows=windows,
+        )
+
+    k = plan.k
+    perm = jnp.asarray(plan.perm)
+    Xp = X[perm]
+    X1, X2 = Xp[:k], Xp[k:]
+
+    if windows is None:
+        mat = lambda p, A, B=None: kernel_matrix(kind, p, A, B)
+        mat_g = lambda p, A, B=None: kernel_matrix_with_grad(kind, p, A, B)
+    else:
+        mat = lambda p, A, B=None: additive_kernel_matrix(kind, p, A, windows, B)
+        mat_g = lambda p, A, B=None: additive_kernel_matrix_with_grad(kind, p, A, windows, B)
+
+    if require_grad:
+        K11, dK11 = mat_g(params, X1)
+        K12, dK12 = mat_g(params, X1, X2)
+    else:
+        K11 = mat(params, X1)
+        K12 = mat(params, X1, X2)
+        dK11 = dK12 = None
+
+    L11, _ = stable_chol(K11)
+    GK12 = tril_solve(L11, K12)
+
+    if require_grad:
+        # dL11 = L phi(L^{-1} dK11 L^{-T})
+        GdKG = jax.vmap(
+            lambda dk: tril_solve(L11, tril_solve(L11, dk).T).T
+        )(dK11)
+        dL11 = jax.vmap(lambda A: L11 @ _phi(A))(GdKG)
+        GdK12 = jax.vmap(lambda dk: tril_solve(L11, dk))(dK12)
+        GdK11GK12 = jnp.einsum("jkl,lm->jkm", GdKG, GK12)
+    else:
+        dL11 = GdK12 = GdK11GK12 = None
+
+    idx = jnp.asarray(plan.pattern[0])
+    mask = jnp.asarray(plan.pattern[1])
+
+    def block_fn(J):
+        XJ = X2[J]
+        gk = GK12[:, J]                       # (k, lfil)
+        if require_grad:
+            B22, dB22 = mat_g(params, XJ)
+            B = B22 - gk.T @ gk
+
+            def grad_one(dB22j, gdk, gdkg):
+                gdkJ = gdk[:, J]
+                cross = gk.T @ gdkJ
+                return dB22j - cross - cross.T + gk.T @ gdkg[:, J]
+
+            dB = jax.vmap(grad_one)(dB22, GdK12, GdK11GK12)
+            return B, dB
+        B22 = mat(params, XJ)
+        return B22 - gk.T @ gk, None
+
+    if require_grad:
+        blocks, dblocks = jax.vmap(block_fn)(idx)
+    else:
+        blocks = jax.vmap(lambda J: block_fn(J)[0])(idx)
+        dblocks = None
+    val, dval = fsai_rows_from_blocks(blocks, dblocks, mask)
+    gs = FsaiPrecond(idx=idx, mask=mask, val=val, dval=dval)
+
+    return AfnPrecond(
+        perm=perm, L11=L11, K12=K12, GK12=GK12, gs=gs, dL11=dL11, dK12=dK12
+    )
+
+
+def afn_setup(
+    kind: str,
+    params: KernelParams,
+    X,
+    *,
+    maxrank: int = 200,
+    lfil: int = 20,
+    key=None,
+    rank: Optional[int] = None,
+    require_grad: bool = False,
+    windows=None,
+    force_afn: bool = False,
+):
+    """One-call AFN setup: plan (host) + factorization (device)."""
+    plan = afn_plan(
+        kind, params, X, maxrank=maxrank, lfil=lfil, key=key, rank=rank,
+        force_afn=force_afn,
+    )
+    precond = afn_setup_from_plan(
+        kind, params, X, plan, require_grad=require_grad, windows=windows
+    )
+    return precond, plan

@@ -1,0 +1,195 @@
+"""FSAI — factored sparse approximate inverse preconditioner.
+
+TPU-native rebuild of SRC/preconds/fsai.c: G ~= L^{-1} lower-triangular on a
+KNN pattern, so M^{-1} = G' G ~= K^{-1}.
+
+Per row i with pattern J (lfil-1 nearest preceding points + i last):
+  u  = K(J,J)^{-1} e_last            (small cholesky solve, fsai.c:374-397)
+  g  = u / sqrt(u_last)
+  dg_j = -K^{-1} (dK_j g) - 0.5 * dg_j[last] * dd * g   (fsai.c:470-663)
+
+The reference's per-row OpenMP loop with per-thread LAPACK becomes ONE
+vmap'ed batched cholesky over all n rows of fixed size lfil — padded rows are
+spliced with identity blocks so every row has static shape.
+
+Apply / trace / dvp (fsai.c:106-300):
+  solve:   x = G'(G r)                     (two padded-ELL products)
+  logdet:  -2 sum log diag(G)
+  trace_j: 2 sum_i dG_ii / G_ii
+  dvp:     exactly the reference's operator sequence (fsai.c:158-216):
+             px = G' G^{-T} dG' G^{-T} z + G' dG (G^{-1} G^{-T} z)
+           E_z[z' px] equals trace exactly (consistent pair), using blocked
+           ELL triangular solves (ops/matops.py) in place of the reference's
+           sequential CSR substitution.
+  A triangular-solve-free alternative pair (dvp_gram / trace_gram:
+  px_j = G'(dG_j z) + dG_j'(G z), trace'_j = 2 <G, dG_j>_F) is kept for
+  speed-of-light SLQ where the variance-reduction pairing may be looser.
+"""
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.pytree import pytree_dataclass
+from ..ops.matops import ell_matvec, ell_rmatvec, ell_tril_solve, ell_triu_solve
+from ..ops.knn import knn_pattern
+from ..ops.kernels import (
+    KernelParams,
+    kernel_matrix,
+    kernel_matrix_with_grad,
+    additive_kernel_matrix,
+    additive_kernel_matrix_with_grad,
+)
+
+
+@pytree_dataclass
+class FsaiPrecond:
+    idx: jnp.ndarray             # (n, lfil) pattern, diagonal at slot lfil-1
+    mask: jnp.ndarray            # (n, lfil) validity
+    val: jnp.ndarray             # (n, lfil) rows of G
+    dval: Optional[jnp.ndarray]  # (3, n, lfil) rows of dG or None
+
+    def solve(self, r):
+        return ell_rmatvec(self.idx, self.val, ell_matvec(self.idx, self.val, r))
+
+    def apply_G(self, r):
+        return ell_matvec(self.idx, self.val, r)
+
+    def apply_Gt(self, r):
+        return ell_rmatvec(self.idx, self.val, r)
+
+    def logdet(self):
+        return -2.0 * jnp.sum(jnp.log(self.val[:, -1]))
+
+    def trace(self):
+        """2 sum_i dG_ii/G_ii (fsai.c:222-276); consistent with dvp."""
+        return 2.0 * jnp.sum(self.dval[:, :, -1] / self.val[None, :, -1], axis=1)
+
+    def solve_G(self, b):
+        """G^{-1} b (ref Nfft4GPPrecondFsaiInvL, fsai.c:675-702)."""
+        return ell_tril_solve(self.idx, self.val, b)
+
+    def solve_Gt(self, b):
+        """G^{-T} b (ref Nfft4GPPrecondFsaiInvLT, fsai.c:703-729)."""
+        return ell_triu_solve(self.idx, self.val, b)
+
+    def dvp(self, z):
+        """(3, n) px_j with E[z' px_j] = trace_j (ref fsai.c:125-216)."""
+        u = self.solve_Gt(z)                     # G^{-T} z
+        m = self.solve_G(u)                      # M z = G^{-1} G^{-T} z
+
+        def one(dv):
+            s = self.solve_Gt(ell_rmatvec(self.idx, dv, u))  # G^{-T} dG' G^{-T} z
+            t = s + ell_matvec(self.idx, dv, m)              # + dG M z
+            return ell_rmatvec(self.idx, self.val, t)        # G' (...)
+
+        return jax.vmap(one)(self.dval)
+
+    def trace_gram(self):
+        """Cheap pair: 2 <G, dG_j>_F — consistent with dvp_gram."""
+        return 2.0 * jnp.einsum("nl,knl->k", self.val, self.dval)
+
+    def dvp_gram(self, z):
+        """Triangular-solve-free consistent pair: G'(dG z) + dG'(G z)."""
+        gz = ell_matvec(self.idx, self.val, z)
+
+        def one(dv):
+            a = ell_rmatvec(self.idx, self.val, ell_matvec(self.idx, dv, z))
+            b = ell_rmatvec(self.idx, dv, gz)
+            return a + b
+
+        return jax.vmap(one)(self.dval)
+
+
+def _identity_splice(B, mask):
+    """Replace invalid rows/cols of the (lfil, lfil) block with identity."""
+    m2 = mask[:, None] & mask[None, :]
+    eye = jnp.eye(B.shape[0], dtype=B.dtype)
+    return jnp.where(m2, B, eye)
+
+
+def fsai_rows_from_blocks(blocks, dblocks, mask):
+    """Batched FSAI row solves.
+
+    blocks: (n, lfil, lfil) kernel sub-blocks (invalid entries arbitrary)
+    dblocks: (n, 3, lfil, lfil) gradients or None
+    mask: (n, lfil)
+    Returns (val, dval).
+    """
+
+    def one(B, dB, m):
+        B = _identity_splice(B, m)
+        lfil = B.shape[0]
+        e = jnp.zeros((lfil,), B.dtype).at[-1].set(1.0)
+        Lb = jnp.linalg.cholesky(B)
+        u = jax.scipy.linalg.cho_solve((Lb, True), e)
+        dd = 1.0 / jnp.sqrt(u[-1])
+        g = u * dd
+        g = jnp.where(m, g, 0.0)
+        if dB is None:
+            return g, None
+        dB = jnp.where(m[None, :, None] & m[None, None, :], dB, 0.0)
+
+        def grad_one(dBj):
+            da = jax.scipy.linalg.cho_solve((Lb, True), -(dBj @ g))
+            da = da - 0.5 * da[-1] * dd * g
+            return jnp.where(m, da, 0.0)
+
+        dg = jax.vmap(grad_one)(dB)
+        return g, dg
+
+    if dblocks is None:
+        val = jax.vmap(lambda B, m: one(B, None, m)[0])(blocks, mask)
+        return val, None
+    val, dval = jax.vmap(one)(blocks, dblocks, mask)
+    return val, jnp.moveaxis(dval, 0, 1)  # -> (3, n, lfil)
+
+
+def fsai_setup(
+    kind: str,
+    params: KernelParams,
+    X,
+    lfil: int,
+    *,
+    require_grad: bool = False,
+    windows=None,
+    pattern=None,
+    block_fn: Optional[Callable] = None,
+) -> FsaiPrecond:
+    """FSAI on the lfil-nearest-preceding-neighbor pattern.
+
+    block_fn(J) -> (B, dB): optional custom kernel-block evaluator (used by
+    AFN's implicit Schur-complement kernel, ref kernels.c:3496+); default
+    evaluates the (additive) kernel on the gathered sub-data.
+    """
+    n = X.shape[0]
+    if pattern is None:
+        idx, mask = knn_pattern(X, lfil)
+    else:
+        idx, mask = pattern
+
+    if block_fn is None:
+
+        def block_fn(J):
+            XJ = X[J]
+            if windows is None:
+                if require_grad:
+                    return kernel_matrix_with_grad(kind, params, XJ)
+                return kernel_matrix(kind, params, XJ), None
+            if require_grad:
+                return additive_kernel_matrix_with_grad(kind, params, XJ, windows)
+            return additive_kernel_matrix(kind, params, XJ, windows), None
+
+    def eval_row(J):
+        B, dB = block_fn(J)
+        return B, dB
+
+    if require_grad:
+        blocks, dblocks = jax.vmap(eval_row)(idx)
+    else:
+        blocks = jax.vmap(lambda J: eval_row(J)[0])(idx)
+        dblocks = None
+
+    val, dval = fsai_rows_from_blocks(blocks, dblocks, mask)
+    return FsaiPrecond(idx=idx, mask=mask, val=val, dval=dval)

@@ -1,0 +1,188 @@
+"""Flexible GMRES.
+
+TPU-native rebuild of Nfft4GPSolverFgmres (ref: SRC/solvers/fgmres.c:3-252):
+restarted flexible GMRES with modified Gram-Schmidt + selective
+re-orthogonalization (tol 1/sqrt(2), ref matops.c:274-346), Givens rotations
+for the small least-squares problem, and per-column storage of the
+preconditioned basis Z = M^{-1} V (flexible preconditioning).
+
+All basis arrays are fixed (kdim+1, n) blocks; the Arnoldi loop is a
+lax.while_loop with an active flag, so convergence-dependent iteration counts
+compile once (SURVEY.md §7 "convergence-dependent loops under jit").
+"""
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class FgmresResult(NamedTuple):
+    x: jnp.ndarray
+    relres: jnp.ndarray
+    niter: jnp.ndarray
+    res_history: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def _mgs(w, V, j, kdim, reorth_tol=0.7071067811865475):
+    """Modified Gram-Schmidt of w against V[0..j] with one selective re-orth.
+
+    Returns (w_orth, h[kdim+1], t=||w_orth||). Mirrors Nfft4GPModifiedGS
+    (matops.c:274-346) with the re-orth loop capped at one pass.
+    """
+    normw0 = jnp.linalg.norm(w)
+
+    def pass_once(w):
+        h = jnp.zeros((kdim + 1,), dtype=w.dtype)
+
+        def body(i, carry):
+            w, h = carry
+            t1 = jnp.vdot(V[i], w)
+            t1 = jnp.where(i <= j, t1, 0.0)
+            w = w - t1 * V[i]
+            h = h.at[i].add(t1)
+            return (w, h)
+
+        w, h = lax.fori_loop(0, kdim + 1, body, (w, h))
+        return w, h
+
+    w, h = pass_once(w)
+    t = jnp.linalg.norm(w)
+
+    def reorth(args):
+        w, h, t = args
+        w, h2 = pass_once(w)
+        return w, h + h2, jnp.linalg.norm(w)
+
+    need = jnp.logical_and(t < normw0 * reorth_tol, t > 0.0)
+    w, h, t = lax.cond(need, reorth, lambda a: a, (w, h, t))
+    return w, h, t
+
+
+def fgmres(
+    matvec: Callable,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    *,
+    precond: Optional[Callable] = None,
+    kdim: int = 50,
+    maxits: Optional[int] = None,
+    tol: float = 1e-8,
+    atol: bool = False,
+) -> FgmresResult:
+    n = b.shape[0]
+    dtype = b.dtype
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    psolve = precond if precond is not None else (lambda r: r)
+    maxits = kdim if maxits is None else maxits
+    n_cycles = -(-maxits // kdim)  # ceil
+
+    normb = jnp.linalg.norm(b)
+    safe_normb = jnp.where(normb == 0, 1.0, normb)
+    tolb = jnp.where(jnp.asarray(atol), tol, tol * normb)
+
+    hist0 = jnp.full((maxits + 1,), jnp.nan, dtype=dtype)
+
+    def cycle(carry):
+        x, total_it, hist, stop = carry
+        r = b - matvec(x)
+        beta = jnp.linalg.norm(r)
+        hist = hist.at[total_it].set(beta / safe_normb)
+        safe_beta = jnp.where(beta == 0, 1.0, beta)
+
+        V0 = jnp.zeros((kdim + 1, n), dtype)
+        Z0 = jnp.zeros((kdim, n), dtype)
+        H0 = jnp.zeros((kdim + 1, kdim), dtype)
+        V0 = V0.at[0].set(r / safe_beta)
+        g0 = jnp.zeros((kdim + 1,), dtype).at[0].set(beta)
+        cs0 = jnp.zeros((kdim,), dtype)
+        sn0 = jnp.zeros((kdim,), dtype)
+
+        def inner_cond(s):
+            (V, Z, H, g, cs, sn, j, res, hist, inner_stop) = s
+            return jnp.logical_and(j < kdim, jnp.logical_not(inner_stop))
+
+        def inner_body(s):
+            (V, Z, H, g, cs, sn, j, res, hist, inner_stop) = s
+            zj = psolve(V[j])
+            Z = Z.at[j].set(zj)
+            w = matvec(zj)
+            w, h, t = _mgs(w, V, j, kdim)
+            h = h.at[j + 1].set(t)
+            lucky = t <= jnp.finfo(dtype).eps * safe_normb
+            safe_t = jnp.where(t == 0, 1.0, t)
+            V = V.at[j + 1].set(w / safe_t)
+
+            # apply previous Givens rotations to column h
+            def rot_body(i, h):
+                active = i < j
+                hi = h[i]
+                hi1 = h[i + 1]
+                new_hi = cs[i] * hi + sn[i] * hi1
+                new_hi1 = -sn[i] * hi + cs[i] * hi1
+                h = h.at[i].set(jnp.where(active, new_hi, hi))
+                h = h.at[i + 1].set(jnp.where(active, new_hi1, hi1))
+                return h
+
+            h = lax.fori_loop(0, kdim, rot_body, h)
+
+            # new rotation zeroing h[j+1]
+            denom = jnp.sqrt(h[j] * h[j] + h[j + 1] * h[j + 1])
+            safe_denom = jnp.where(denom == 0, 1.0, denom)
+            c = jnp.where(denom == 0, 1.0, h[j] / safe_denom)
+            sgn = jnp.where(denom == 0, 0.0, h[j + 1] / safe_denom)
+            cs = cs.at[j].set(c)
+            sn = sn.at[j].set(sgn)
+            h = h.at[j].set(denom).at[j + 1].set(0.0)
+            H = H.at[:, j].set(h)
+
+            gj = g[j]
+            g = g.at[j].set(c * gj)
+            g = g.at[j + 1].set(-sgn * gj)
+            res = jnp.abs(g[j + 1])
+            hist = hist.at[total_it + j + 1].set(res / safe_normb)
+
+            inner_stop = jnp.logical_or(res <= tolb, lucky)
+            inner_stop = jnp.logical_or(inner_stop, total_it + j + 1 >= maxits)
+            return (V, Z, H, g, cs, sn, j + 1, res, hist, inner_stop)
+
+        s0 = (V0, Z0, H0, g0, cs0, sn0, jnp.asarray(0, jnp.int32), beta, hist, beta <= tolb)
+        V, Z, H, g, cs, sn, j, res, hist, _ = lax.while_loop(inner_cond, inner_body, s0)
+
+        # solve the (masked) upper-triangular system R y = g
+        col_idx = jnp.arange(kdim)
+        active_col = col_idx < j
+        R = H[:kdim, :]
+        R = jnp.where(active_col[None, :] & active_col[:, None], R, 0.0)
+        R = R + jnp.diag(jnp.where(active_col, 0.0, 1.0))
+        ge = jnp.where(active_col, g[:kdim], 0.0)
+        y = jax.scipy.linalg.solve_triangular(R, ge, lower=False)
+        x = x + Z.T @ y
+
+        total_it = total_it + j
+        stop = jnp.logical_or(res <= tolb, total_it >= maxits)
+        return (x, total_it, hist, stop)
+
+    def outer_cond(carry):
+        x, total_it, hist, stop = carry
+        return jnp.logical_not(stop)
+
+    carry = (x0, jnp.asarray(0, jnp.int32), hist0, jnp.asarray(False))
+    # bounded number of restart cycles
+    def outer_body(i, carry):
+        x, total_it, hist, stop = carry
+        return lax.cond(stop, lambda c: c, cycle, (x, total_it, hist, stop))
+
+    x, total_it, hist, stop = lax.fori_loop(0, n_cycles, outer_body, carry)
+
+    r = b - matvec(x)
+    relres = jnp.linalg.norm(r) / safe_normb
+    return FgmresResult(
+        x=x,
+        relres=relres,
+        niter=total_it,
+        res_history=hist,
+        converged=relres * safe_normb <= tolb,
+    )

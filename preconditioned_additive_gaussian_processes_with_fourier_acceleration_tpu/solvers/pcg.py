@@ -1,0 +1,101 @@
+"""Preconditioned conjugate gradient.
+
+TPU-native rebuild of Nfft4GPSolverPcg (ref: SRC/solvers/pcg.c:3-206):
+textbook PCG with relative-or-absolute tolerance, breakdown guards on
+rho == 0 / pq <= 0, a true-residual re-check on tentative convergence
+(pcg.c:181-193 — guards inexact fast matvecs), and a full residual history.
+
+The loop is a fixed-shape lax.while_loop so the whole solve stays inside one
+XLA computation; each dot product is a full reduction (a psum under
+shard_map on a device mesh — see parallel/).
+"""
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class PcgResult(NamedTuple):
+    x: jnp.ndarray
+    relres: jnp.ndarray          # final true relative residual
+    niter: jnp.ndarray           # iterations executed
+    res_history: jnp.ndarray     # relative residual per iteration, nan-padded
+    converged: jnp.ndarray
+
+
+def pcg(
+    matvec: Callable,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    *,
+    precond: Optional[Callable] = None,
+    tol: float = 1e-8,
+    atol: bool = False,
+    maxits: int = 100,
+) -> PcgResult:
+    n = b.shape[0]
+    dtype = b.dtype
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    psolve = precond if precond is not None else (lambda r: r)
+
+    normb = jnp.linalg.norm(b)
+    # tolb: absolute threshold on ||r|| (ref pcg.c:41-52)
+    tolb = jnp.where(jnp.asarray(atol), tol, tol * normb)
+    safe_normb = jnp.where(normb == 0, 1.0, normb)
+
+    r0 = b - matvec(x0)
+    normr0 = jnp.linalg.norm(r0)
+
+    hist0 = jnp.full((maxits + 1,), jnp.nan, dtype=dtype)
+    hist0 = hist0.at[0].set(normr0 / safe_normb)
+
+    def cond(state):
+        x, r, p, rho, it, normr, hist, stop = state
+        return jnp.logical_and(it < maxits, jnp.logical_not(stop))
+
+    def body(state):
+        x, r, p, rho_prev, it, normr, hist, stop = state
+        z = psolve(r)
+        rho = jnp.vdot(z, r)
+        first = it == 0
+        beta = jnp.where(first, 0.0, rho / jnp.where(rho_prev == 0, 1.0, rho_prev))
+        p = jnp.where(first, z, z + beta * p)
+        q = matvec(p)
+        pq = jnp.vdot(p, q)
+        breakdown = jnp.logical_or(rho == 0.0, pq <= 0.0)
+        alpha = jnp.where(breakdown, 0.0, rho / jnp.where(pq == 0, 1.0, pq))
+        x = x + alpha * p
+        r = r - alpha * q
+        normr = jnp.linalg.norm(r)
+        it = it + 1
+        hist = hist.at[it].set(normr / safe_normb)
+
+        # true-residual re-check on tentative convergence (ref pcg.c:181-193)
+        def recheck(args):
+            x, r, normr, hist = args
+            rt = b - matvec(x)
+            normrt = jnp.linalg.norm(rt)
+            hist = hist.at[it].set(normrt / safe_normb)
+            return x, rt, normrt, hist
+
+        tentative = normr <= tolb
+        x, r, normr, hist = lax.cond(
+            tentative, recheck, lambda a: a, (x, r, normr, hist)
+        )
+        stop = jnp.logical_or(breakdown, normr <= tolb)
+        return (x, r, p, rho, it, normr, hist, stop)
+
+    # direct-solution early exit (ref pcg.c:70-84)
+    init_stop = normr0 < tolb
+    state = (x0, r0, jnp.zeros_like(b), jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32),
+             normr0, hist0, init_stop)
+    x, r, p, rho, it, normr, hist, stop = lax.while_loop(cond, body, state)
+    return PcgResult(
+        x=x,
+        relres=normr / safe_normb,
+        niter=it,
+        res_history=hist,
+        converged=normr <= tolb,
+    )
