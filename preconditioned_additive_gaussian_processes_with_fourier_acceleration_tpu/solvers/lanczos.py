@@ -80,7 +80,8 @@ def lanczos(
         w = matvec(V[it])  # z_new = A v_it
 
         # two-basis Gram-Schmidt against (V, Z)[0..it]; coefficients at it
-        # and it-1 are the tridiagonal entries (ref matops.c:375-410)
+        # and it-1 are the tridiagonal entries, with a selective re-orth pass
+        # at shrink tol 1/sqrt(2) (ref matops.c:375-433, Nfft4GPModifiedGS2)
         def gs_body(i, carry):
             w, td, te = carry
             t1 = jnp.vdot(V[i], w)
@@ -91,8 +92,20 @@ def lanczos(
             te = te + jnp.where(i == it - 1, t1, 0.0)
             return (w, td, te)
 
+        def gs_pass(w, td, te):
+            return lax.fori_loop(0, maxits + 1, gs_body, (w, td, te))
+
         if full_reorth:
-            w, td, te = lax.fori_loop(0, maxits + 1, gs_body, (w, jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype)))
+            normw0 = jnp.linalg.norm(w)
+            zero = jnp.asarray(0.0, dtype)
+            w, td, te = gs_pass(w, zero, zero)
+            t_after = jnp.linalg.norm(w)
+            w, td, te = lax.cond(
+                (t_after < 0.7071067811865475 * normw0) & (t_after >= eps),
+                lambda args: gs_pass(*args),
+                lambda args: args,
+                (w, td, te),
+            )
         else:
             # window of 2 (classic three-term recursion)
             td = jnp.vdot(V[it], w)

@@ -70,7 +70,9 @@ def test_kernel_gradients_finite_difference(kind, data):
     f, l, mu = 1.3, 0.6, 0.07
     p = KernelParams.make(f, l, mu)
     K, dK = kernel_matrix_with_grad(kind, p, jnp.asarray(X))
-    np.testing.assert_allclose(np.asarray(K), _np_kernel(kind, f, l, mu, X), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(K), _np_kernel(kind, f, l, mu, X), rtol=1e-7, atol=1e-7
+    )
 
     eps = 1e-6
     for j, (df, dl, dmu) in enumerate([(eps, 0, 0), (0, eps, 0), (0, 0, eps)]):
