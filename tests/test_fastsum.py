@@ -1,0 +1,127 @@
+"""Fourier-accelerated matvec accuracy vs exact dense — the TEST1 oracle.
+
+Ref: TESTS/TEST1/foo.cpp:240-295 prints L-inf/L2 abs+rel errors of the NFFT
+additive matvec and the 3 gradient matvecs against the exact dense operators.
+Accuracy here is periodization + mode-truncation error only (the separable
+NDFT is exact), so tolerances reflect the N=32 fastsum defaults.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nfft4gp_tpu.ops.kernels import (
+    KernelParams,
+    kernel_matrix,
+    kernel_matrix_with_grad,
+    additive_kernel_matrix,
+    additive_kernel_matrix_with_grad,
+    make_windows,
+)
+from nfft4gp_tpu.ops.fastsum import (
+    fastsum_build,
+    fastsum_matvec,
+    fastsum_grad_matvec,
+    additive_fastsum_build,
+    additive_fastsum_matvec,
+    additive_fastsum_grad_matvec,
+)
+
+
+def rel_err(a, b):
+    return float(jnp.linalg.norm(a - b) / jnp.linalg.norm(b))
+
+
+@pytest.mark.parametrize(
+    "kind,tol", [("gaussian", 1e-4), ("matern32", 5e-3), ("matern12", 6e-2)]
+)
+@pytest.mark.parametrize("d", [1, 2])
+def test_fastsum_matvec_vs_dense(kind, tol, d):
+    rng = np.random.default_rng(31)
+    n = 300
+    X = jnp.asarray(rng.uniform(size=(n, d)))
+    p = KernelParams.make(1.2, 0.25, 0.05)
+    K = kernel_matrix(kind, p, X)
+    x = jnp.asarray(rng.normal(size=(n,)))
+    plan = fastsum_build(kind, p, X, N=32)
+    y_fast = fastsum_matvec(plan, x)
+    y_ref = K @ x
+    assert rel_err(y_fast, y_ref) < tol
+
+
+def test_fastsum_error_decreases_with_N():
+    """Mode truncation error shrinks as the expansion degree grows."""
+    rng = np.random.default_rng(53)
+    n = 300
+    X = jnp.asarray(rng.uniform(size=(n, 1)))
+    p = KernelParams.make(1.0, 0.25, 0.05)
+    K = kernel_matrix("matern12", p, X)
+    x = jnp.asarray(rng.normal(size=(n,)))
+    errs = []
+    for N in (16, 32, 64):
+        plan = fastsum_build("matern12", p, X, N=N)
+        errs.append(rel_err(fastsum_matvec(plan, x), K @ x))
+    assert errs[2] < errs[1] < errs[0]
+
+
+@pytest.mark.parametrize("kind,tol", [("gaussian", 2e-4), ("matern12", 8e-2)])
+def test_fastsum_grad_matvec_vs_dense(kind, tol):
+    rng = np.random.default_rng(37)
+    n = 250
+    X = jnp.asarray(rng.uniform(size=(n, 2)))
+    p = KernelParams.make(1.1, 0.3, 0.05)
+    _, dK = kernel_matrix_with_grad(kind, p, X)
+    x = jnp.asarray(rng.normal(size=(n,)))
+    plan = fastsum_build(kind, p, X, N=32)
+    dy = fastsum_grad_matvec(plan, x)
+    for j in range(3):
+        ref = dK[j] @ x
+        assert rel_err(dy[j], ref) < tol, f"grad {j}"
+
+
+def test_fastsum_3d_window():
+    rng = np.random.default_rng(41)
+    n = 200
+    X = jnp.asarray(rng.uniform(size=(n, 3)))
+    p = KernelParams.make(1.0, 0.6, 0.02)
+    K = kernel_matrix("gaussian", p, X)
+    x = jnp.asarray(rng.normal(size=(n,)))
+    plan = fastsum_build("gaussian", p, X, N=16)
+    y_fast = fastsum_matvec(plan, x)
+    assert rel_err(y_fast, K @ x) < 2e-3
+
+
+def test_additive_fastsum_vs_dense_additive():
+    rng = np.random.default_rng(43)
+    n = 250
+    X = jnp.asarray(rng.uniform(size=(n, 4)))
+    p = KernelParams.make(1.3, 0.5, 0.04)
+    windows = make_windows([[0], [1, 2], [3]])
+    K = additive_kernel_matrix("gaussian", p, X, windows)
+    _, dK = additive_kernel_matrix_with_grad("gaussian", p, X, windows)
+    x = jnp.asarray(rng.normal(size=(n,)))
+
+    plan = additive_fastsum_build("gaussian", p, X, windows, N=32)
+    y = additive_fastsum_matvec(plan, x)
+    assert rel_err(y, K @ x) < 2e-3
+
+    dy = additive_fastsum_grad_matvec(plan, x)
+    for j in range(3):
+        assert rel_err(dy[j], dK[j] @ x) < 5e-3, f"grad {j}"
+
+
+def test_fastsum_matvec_jits_and_symmetric():
+    rng = np.random.default_rng(47)
+    n = 128
+    X = jnp.asarray(rng.uniform(size=(n, 2)))
+    p = KernelParams.make(1.0, 0.5, 0.1)
+    plan = fastsum_build("gaussian", p, X, N=32)
+
+    mv = jax.jit(lambda v: fastsum_matvec(plan, v))
+    a = jnp.asarray(rng.normal(size=(n,)))
+    b = jnp.asarray(rng.normal(size=(n,)))
+    # operator is symmetric: a'(K b) == b'(K a)
+    np.testing.assert_allclose(
+        float(jnp.vdot(a, mv(b))), float(jnp.vdot(b, mv(a))), rtol=1e-10
+    )
