@@ -1,0 +1,97 @@
+"""FPS, KNN pattern, rank estimation, dataset helpers, IO readers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nfft4gp_tpu.ops.fps import fps, fps_full_perm
+from nfft4gp_tpu.ops.knn import knn_pattern
+from nfft4gp_tpu.ops.rankest import estimate_rank, RankestConfig
+from nfft4gp_tpu.ops.kernels import KernelParams
+from nfft4gp_tpu.utils.datasets import expand_perm, rand_perm, generate_grid2d
+from nfft4gp_tpu.io import read_features, read_labels, read_windows
+
+
+def test_fps_properties():
+    rng = np.random.default_rng(71)
+    X = jnp.asarray(rng.uniform(size=(200, 2)))
+    k = 20
+    res = fps(X, k)
+    perm = np.asarray(res.perm)
+    assert len(set(perm.tolist())) == k  # distinct
+    # first point is the one nearest the mean (ordering.c:110-143)
+    mean = np.asarray(X).mean(axis=0)
+    d2 = ((np.asarray(X) - mean) ** 2).sum(axis=1)
+    assert perm[0] == int(np.argmin(d2))
+    # cover radii decrease (non-strictly)
+    d = np.asarray(res.dists)[1:]
+    assert (np.diff(d) <= 1e-12).all()
+    # each selected point is the true farthest from the previous selection
+    Xn = np.asarray(X)
+    for i in [3, 10]:
+        sel = Xn[perm[:i]]
+        dist = np.min(((Xn[:, None, :] - sel[None, :, :]) ** 2).sum(-1), axis=1)
+        assert dist[perm[i]] == pytest.approx(dist.max())
+
+
+def test_expand_perm():
+    pre = jnp.asarray([5, 2, 9])
+    full = np.asarray(expand_perm(pre, 10))
+    assert full[:3].tolist() == [5, 2, 9]
+    assert sorted(full.tolist()) == list(range(10))
+
+
+def test_knn_pattern_matches_bruteforce():
+    rng = np.random.default_rng(73)
+    X = jnp.asarray(rng.uniform(size=(120, 2)))
+    lfil = 6
+    idx, mask = knn_pattern(X, lfil, block=32)
+    Xn = np.asarray(X)
+    for i in [0, 1, 5, 40, 119]:
+        J = np.asarray(idx[i])[np.asarray(mask[i])]
+        assert J[-1] == i  # diagonal last
+        prev = J[:-1]
+        if i == 0:
+            assert len(prev) == 0
+            continue
+        d2 = ((Xn[:i] - Xn[i]) ** 2).sum(axis=1)
+        want = set(np.argsort(d2)[: min(i, lfil - 1)].tolist())
+        assert set(prev.tolist()) == want
+        assert sorted(prev.tolist()) == prev.tolist()  # ascending
+
+
+def test_rankest_returns_reasonable_rank():
+    rng = np.random.default_rng(79)
+    X = jnp.asarray(rng.uniform(size=(400, 2)))
+    # long lengthscale -> smooth kernel -> low rank
+    p_smooth = KernelParams.make(1.0, 1.0, 0.01)
+    k_smooth = estimate_rank("gaussian", p_smooth, X, jax.random.PRNGKey(0),
+                             RankestConfig(nsample=200, nsample_r=2))
+    # short lengthscale -> high rank
+    p_rough = KernelParams.make(1.0, 0.02, 0.01)
+    k_rough = estimate_rank("gaussian", p_rough, X, jax.random.PRNGKey(0),
+                            RankestConfig(nsample=200, nsample_r=2))
+    assert 1 <= k_smooth < k_rough
+
+
+def test_grid2d():
+    g = generate_grid2d(4, 5)
+    assert g.shape == (20, 2)
+    assert float(g.min()) == 0.0 and float(g.max()) == 1.0
+
+
+def test_io_readers(tmp_path):
+    fpath = tmp_path / "feat.txt"
+    fpath.write_text("3 2\n1 2 3\n4 5 6\n")
+    F = read_features(fpath)
+    np.testing.assert_allclose(F, [[1, 4], [2, 5], [3, 6]])
+
+    lpath = tmp_path / "lab.txt"
+    lpath.write_text("3\n7 8 9\n")
+    np.testing.assert_allclose(read_labels(lpath), [7, 8, 9])
+
+    wpath = tmp_path / "win.txt"
+    wpath.write_text("2 2\n0 1\n2 -1\n")
+    W = read_windows(wpath)
+    np.testing.assert_allclose(W, [[0, 2], [1, -1]])
