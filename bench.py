@@ -1,0 +1,74 @@
+"""Headline benchmark: Fourier-accelerated additive kernel matvec throughput.
+
+Measures pts/s/chip of the additive fastsum matvec (the reference's hot path,
+SURVEY.md §3.2: Nfft4GPAdditiveNFFTMatSymv) at N=200k points, d=10, five
+2-feature windows — BASELINE.json config 3 scaled up.
+
+The reference publishes no numbers (README.md:4 "not optimized for
+performance"); vs_baseline is reported against a nominal 1e6 pts/s —
+a generous estimate of the reference's threaded CPU NFFT matvec rate on this
+problem size (n log n with large constants; README's research-only framing).
+
+Prints exactly one JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from preconditioned_additive_gaussian_processes_with_fourier_acceleration_tpu.ops.kernels import (
+        KernelParams,
+        make_windows,
+    )
+    from preconditioned_additive_gaussian_processes_with_fourier_acceleration_tpu.ops.fastsum import (
+        additive_fastsum_build,
+        additive_fastsum_matvec,
+    )
+
+    dtype = jnp.float32
+    n, d = 200_000, 10
+    windows = make_windows([[0, 1], [2, 3], [4, 5], [6, 7], [8, 9]])
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(size=(n, d)), dtype)
+    x = jnp.asarray(rng.normal(size=(n,)), dtype)
+    params = KernelParams.make(1.0, 0.5, 0.01, dtype=dtype)
+
+    plan = additive_fastsum_build("gaussian", params, X, windows, N=32)
+    mv = jax.jit(lambda v: additive_fastsum_matvec(plan, v))
+
+    # warm-up / compile
+    y = jax.block_until_ready(mv(x))
+    assert bool(jnp.isfinite(y).all())
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = mv(y / jnp.linalg.norm(y))
+    jax.block_until_ready(y)
+    t1 = time.perf_counter()
+
+    per_matvec = (t1 - t0) / iters
+    pts_per_s = n / per_matvec
+
+    baseline_pts_per_s = 1.0e6  # nominal reference CPU NFFT rate (no published numbers)
+    print(
+        json.dumps(
+            {
+                "metric": "additive_fastsum_matvec_pts_per_s_per_chip",
+                "value": round(pts_per_s, 1),
+                "unit": "pts/s",
+                "vs_baseline": round(pts_per_s / baseline_pts_per_s, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

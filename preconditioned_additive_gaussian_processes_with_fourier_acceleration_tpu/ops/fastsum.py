@@ -71,7 +71,8 @@ def fastsum_geometry(X, N: int = 32) -> FastsumGeometry:
     k = jnp.arange(-(N // 2), N - N // 2, dtype=X.dtype)  # [-N/2, N/2)
     cdtype = _complex_dtype(X.dtype)
     phase = -2.0 * jnp.pi * x[:, :, None] * k[None, None, :]   # (n, d, N)
-    E = jnp.exp(1j * phase.astype(X.dtype)).astype(cdtype)
+    # build via cos/sin (complex exp is not universally lowered on TPU)
+    E = jax.lax.complex(jnp.cos(phase), jnp.sin(phase)).astype(cdtype)
     E = jnp.moveaxis(E, 1, 0)                                   # (d, n, N)
     return FastsumGeometry(N=N, d=d, x=x, scale=scale, E=E)
 
