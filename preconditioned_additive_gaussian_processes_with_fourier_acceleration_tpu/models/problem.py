@@ -1,0 +1,204 @@
+"""High-level GP problem wrapper: kernel + operators + preconditioner + loop.
+
+Rebuild of SRC/optimizer/gp_problem.c (the struct bundling 20+ function
+pointers, gp_problem.h:20-75) and the convenience wrappers
+Nfft4GPGpLossGaussianRANSoftPlus (gp_loss.c:28-94) / the RAN+softplus predict
+(gp_predict.c:5-60): one object wires kernel kind, additive windows, the
+operator backend (exact dense or Fourier fastsum), the preconditioner family,
+and the transform into jitted loss/predict callables.
+"""
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.kernels import KernelParams, make_windows
+from ..ops import fastsum as fs
+from ..preconds.chol import chol_setup
+from ..preconds.nystrom import nystrom_setup
+from ..preconds.fsai import fsai_setup
+from ..preconds.afn import afn_plan, afn_setup_from_plan
+from ..solvers.lanczos import rademacher_probes
+from ..utils.datasets import expand_perm, rand_perm
+from .gp import GPConfig, gp_loss, gp_predict
+from .transforms import transform_inverse
+from .adam import adam_run
+
+
+@dataclass
+class GPProblem:
+    """User-facing GP regression problem (ref gp_problem.h:20-75).
+
+    kernel:   'gaussian' | 'matern32' | 'matern12'
+    windows:  None (full kernel) or list of feature-index lists (additive)
+    operator: 'dense' | 'fastsum'
+    precond:  'none' | 'chol' | 'nystrom' | 'fsai' | 'afn'
+    """
+
+    kernel: str = "gaussian"
+    windows: Optional[list] = None
+    operator: str = "dense"
+    precond: str = "nystrom"
+    transform: str = "softplus"
+    rank: int = 50               # nystrom/afn rank
+    lfil: int = 20               # fsai fill
+    maxits: int = 10             # SLQ steps; FGMRES uses 2x
+    nvecs: int = 10              # SLQ probes
+    tol: float = 1e-6
+    fastsum_N: int = 32
+    seed: int = 0
+
+    # filled by fit()
+    raw_params_: Optional[jnp.ndarray] = None
+    loss_history_: list = field(default_factory=list)
+
+    def _windows_arr(self):
+        return make_windows(self.windows) if self.windows is not None else None
+
+    def _cfg(self):
+        return GPConfig(
+            kind=self.kernel, transform=self.transform, maxits=self.maxits,
+            nvecs=self.nvecs, tol=self.tol,
+        )
+
+    def _build_ops_factory(self, X):
+        warr = self._windows_arr()
+        if self.operator == "dense":
+            from .gp import make_dense_ops
+
+            return make_dense_ops(self.kernel, X, windows=warr)
+        if self.operator != "fastsum":
+            raise ValueError(f"unknown operator {self.operator}")
+        if warr is not None:
+            geom = jax.jit(
+                lambda Xv: fs.additive_fastsum_geometry(Xv, warr, N=self.fastsum_N)
+            )(X)
+
+            def build(params):
+                plan = fs.additive_fastsum_coeffs(self.kernel, params, geom)
+                return (
+                    lambda v: fs.additive_fastsum_matvec(plan, v),
+                    lambda v: fs.additive_fastsum_grad_matvec(plan, v),
+                )
+
+            return build
+        geom = jax.jit(lambda Xv: fs.fastsum_geometry(Xv, self.fastsum_N))(X)
+
+        def build(params):
+            plan = fs.fastsum_coeffs(self.kernel, params, geom)
+            return (
+                lambda v: fs.fastsum_matvec(plan, v),
+                lambda v: fs.fastsum_grad_matvec(plan, v),
+            )
+
+        return build
+
+    def _precond_factory(self, X, params0: KernelParams):
+        n = X.shape[0]
+        warr = self._windows_arr()
+        key = jax.random.PRNGKey(self.seed)
+        if self.precond == "none":
+            return None
+        if self.precond == "chol":
+            from ..ops.kernels import (
+                kernel_matrix_with_grad,
+                additive_kernel_matrix_with_grad,
+            )
+
+            def setup(params):
+                if warr is None:
+                    K, dK = kernel_matrix_with_grad(self.kernel, params, X)
+                else:
+                    K, dK = additive_kernel_matrix_with_grad(self.kernel, params, X, warr)
+                return chol_setup(K, dK=dK, require_grad=True)
+
+            return setup
+        if self.precond == "nystrom":
+            k = min(self.rank, n)
+            perm = expand_perm(rand_perm(key, n, k), n)
+            return lambda params: nystrom_setup(
+                self.kernel, params, X, perm, k, require_grad=True, windows=warr
+            )
+        if self.precond == "fsai":
+            from ..ops.knn import knn_pattern
+
+            pattern = knn_pattern(X, self.lfil)
+            return lambda params: fsai_setup(
+                self.kernel, params, X, self.lfil, require_grad=True,
+                windows=warr, pattern=pattern,
+            )
+        if self.precond == "afn":
+            plan = afn_plan(
+                self.kernel, params0, X, maxrank=self.rank, lfil=self.lfil, key=key
+            )
+            return lambda params: afn_setup_from_plan(
+                self.kernel, params, X, plan, require_grad=True, windows=warr
+            )
+        raise ValueError(f"unknown precond {self.precond}")
+
+    def make_loss(self, X, y, params0=(1.0, 1.0, 0.1)):
+        """Jitted raw_params -> (loss, grad) closure."""
+        n = X.shape[0]
+        p0 = KernelParams.make(*params0, dtype=X.dtype)
+        build = self._build_ops_factory(X)
+        psetup = self._precond_factory(X, p0)
+        probes = rademacher_probes(
+            jax.random.PRNGKey(self.seed + 1), self.nvecs, n, dtype=X.dtype
+        )
+        cfg = self._cfg()
+
+        @jax.jit
+        def loss_fn(raw):
+            r = gp_loss(raw, y, build, probes, cfg, psetup)
+            return r.loss, r.grad
+
+        return loss_fn
+
+    def fit(
+        self, X, y, *, init=(1.0, 1.0, 0.1), adam_maxits=100, adam_alpha=0.01,
+        adam_tol=1e-6, verbose=False,
+    ):
+        """Train hyperparameters with Adam (ref TEST4/foo.cpp:318-347)."""
+        X = jnp.asarray(X)
+        y = jnp.asarray(y)
+        loss_fn = self.make_loss(X, y, params0=init)
+        x0 = transform_inverse(self.transform, jnp.asarray(init, X.dtype))
+
+        def cb(it, state, loss, grad):
+            if verbose:
+                from .transforms import transform_forward
+
+                tv, _ = transform_forward(self.transform, state.x)
+                print(
+                    f"{it + 1:6d} | {float(loss):15.8e} | "
+                    f"{float(jnp.linalg.norm(grad)):15.8e} | params: "
+                    f"{float(tv[0]):.6g} {float(tv[1]):.6g} {float(tv[2]):.6g}"
+                )
+
+        state, losses, xs, grads = adam_run(
+            loss_fn, x0, maxits=adam_maxits, tol=adam_tol, alpha=adam_alpha,
+            callback=cb,
+        )
+        self.raw_params_ = state.x
+        self.loss_history_ = [float(v) for v in losses]
+        return self
+
+    def predict(self, X, y, X_test, *, with_std=False, maxits=None):
+        """Posterior mean (and std) at X_test using the fitted params."""
+        if self.raw_params_ is None:
+            raise RuntimeError("call fit() first (or set raw_params_)")
+        X = jnp.asarray(X)
+        y = jnp.asarray(y)
+        X_test = jnp.asarray(X_test)
+        cfg = self._cfg()
+        p0 = KernelParams.make(1.0, 1.0, 0.1, dtype=X.dtype)
+        psetup = self._precond_factory(X, p0)
+        res = gp_predict(
+            self.raw_params_, X, y, X_test, cfg,
+            windows=self._windows_arr(), precond_setup=psetup,
+            with_std=with_std, maxits=maxits or 2 * self.maxits * 10,
+        )
+        return (res.mean, res.std) if with_std else res.mean
