@@ -196,9 +196,19 @@ class GPProblem:
         cfg = self._cfg()
         p0 = KernelParams.make(1.0, 1.0, 0.1, dtype=X.dtype)
         psetup = self._precond_factory(X, p0)
-        res = gp_predict(
-            self.raw_params_, X, y, X_test, cfg,
-            windows=self._windows_arr(), precond_setup=psetup,
-            with_std=with_std, maxits=maxits or 2 * self.maxits * 10,
-        )
+        if self.operator == "fastsum":
+            from .gp import gp_predict_fastsum
+
+            res = gp_predict_fastsum(
+                self.raw_params_, X, y, X_test, cfg,
+                windows=self._windows_arr(), fastsum_N=self.fastsum_N,
+                precond_setup=psetup, with_std=with_std,
+                maxits=maxits or 2 * self.maxits * 10,
+            )
+        else:
+            res = gp_predict(
+                self.raw_params_, X, y, X_test, cfg,
+                windows=self._windows_arr(), precond_setup=psetup,
+                with_std=with_std, maxits=maxits or 2 * self.maxits * 10,
+            )
         return (res.mean, res.std) if with_std else res.mean
