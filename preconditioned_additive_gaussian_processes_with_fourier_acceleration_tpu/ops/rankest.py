@@ -56,6 +56,26 @@ def nystrom_error_curve(kind: str, params: KernelParams, Xs, ranks):
     return jax.vmap(err_at)(ranks)
 
 
+def eigencurve_rank(kind: str, params: KernelParams, X, key,
+                    nsample: int = 500, thresh_factor: float = 1.1):
+    """Eigen-curve rank estimate (ref Nfft4GPRankestDefault, rankest.c:30-179;
+    MATLAB afn_setup.m:230-292): on a subsample, count eigenvalues above
+    thresh_factor * noise (the part of the spectrum Nyström must capture),
+    then scale the count back to the full set.
+    """
+    import numpy as np
+
+    n = X.shape[0]
+    m = min(nsample, n)
+    idx = jax.random.choice(key, n, (m,), replace=False)
+    Xs = X[idx]
+    K = kernel_matrix(kind, params, Xs)
+    eigs = jnp.linalg.eigvalsh(K)
+    noise = params.f * params.f * params.mu
+    count = int(jnp.sum(eigs > thresh_factor * noise))
+    return max(1, int(np.ceil(count * n / m)))
+
+
 def estimate_rank(
     kind: str,
     params: KernelParams,

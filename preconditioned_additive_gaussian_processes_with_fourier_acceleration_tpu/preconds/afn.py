@@ -181,11 +181,21 @@ def afn_plan(
     force_afn: bool = False,
 ) -> AfnPlan:
     """Rank estimation + FPS + pattern construction (afn_setup.m:58-78)."""
+    from ..ops.rankest import eigencurve_rank
+
     n = X.shape[0]
     if key is None:
         key = jax.random.PRNGKey(0)
     if rank is None:
-        rank = estimate_rank(kind, params, X, key, rankest_cfg)
+        # two-stage estimate (ref afn.c:182-243): scaled Nyström-error first;
+        # if it says "not low rank" use maxrank (AFN path), otherwise refine
+        # with the eigen-curve estimate before deciding on the RAN fallback
+        k1 = estimate_rank(kind, params, X, key, rankest_cfg)
+        if k1 >= maxrank:
+            rank = maxrank
+        else:
+            k2 = eigencurve_rank(kind, params, X, key, nsample=rankest_cfg.nsample)
+            rank = min(max(k1, k2), maxrank)
     k = min(rank, maxrank, n)
     use_ran = (k < maxrank) and not force_afn
     k = max(k, 1)
