@@ -55,21 +55,23 @@ def main():
     x = jnp.asarray(rng.normal(size=(n,)), dtype)
     params = KernelParams.make(1.0, 0.5, 0.01, dtype=dtype)
 
-    # plan built inside jit: on the remote-compile TPU backend every eager
-    # op is a compile round-trip
+    # plan built inside jit (on the remote-compile TPU backend every eager op
+    # is a compile round-trip) and passed as a jit ARGUMENT so the large
+    # phase tables are buffers, not inlined MLIR constants
     plan = jax.jit(
         lambda Xv: additive_fastsum_build("gaussian", params, Xv, windows, N=32)
     )(X)
-    mv = jax.jit(lambda v: additive_fastsum_matvec(plan, v))
+    mv = jax.jit(additive_fastsum_matvec)
 
     # warm-up / compile
-    y = jax.block_until_ready(mv(x))
+    y = jax.block_until_ready(mv(plan, x))
     assert bool(jnp.isfinite(y).all())
 
+    norm = jax.jit(lambda v: v / jnp.linalg.norm(v))
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        y = mv(y / jnp.linalg.norm(y))
+        y = mv(plan, norm(y))
     jax.block_until_ready(y)
     t1 = time.perf_counter()
 

@@ -5,58 +5,58 @@ for the MXU instead of gridding windows:
 
 1. Geometry (once per dataset, nfft_interface.c:150-213): center points by
    the per-dim mean, compute the max radius, scale so radius <= 1/4 (scale =
-   0.25/radius when radius is outside [1/8, 1/4]); precompute the per-dim
-   phase matrices E_d[i, k] = exp(-2*pi*1j * k * x_i[d]) for the N modes
-   k in [-N/2, N/2).
+   0.25/radius when radius is outside [1/8, 1/4]); precompute per-dim phase
+   tables cos/sin(-2 pi k x_i[d]) for the N modes k in [-N/2, N/2).
 
 2. Coefficients (per hyperparameters, cheap): the periodized kernel's Fourier
    coefficients b_k = (1/N^d) sum_j phi(||x_j||) e^{-2 pi i k.x_j} over the
    regular N^d torus grid — exactly what fastsum computes with its defaults
    p=1, eps_I=eps_B=0 (no near-field regularization; nfft_interface.c:18-27).
-   phi is the base kernel evaluated at true distance r'/scale; a second
-   coefficient set holds the analytic dk/dl samples (the derivative kernels
-   xx_gaussian / der_laplacian_rbf of nfft_interface.c:219-231).
+   phi is even on the torus, so b is REAL; a second coefficient set holds the
+   analytic dk/dl samples (the derivative kernels xx_gaussian /
+   der_laplacian_rbf of nfft_interface.c:219-231).
 
 3. Apply: K x ~= f^2 (Re[ NDFT2( b * NDFT1(x) ) ] + mu x)
-   where NDFT1/NDFT2 are the EXACT adjoint/forward nonequispaced DFTs
-   realized as dense phase-matrix contractions — separable over dims, so the
-   cost is O(n N) (d=1), O(n N^2) (d=2), N * O(n N^2) (d=3), all batched
-   GEMMs on the systolic array.  Unlike NFFT's windowed gridding there is NO
-   window approximation error; accuracy matches fastsum's periodization +
-   truncation error (TEST1 oracle).
+   where NDFT1/NDFT2 are EXACT adjoint/forward nonequispaced DFTs realized
+   as dense phase-table contractions — separable over dims, cost O(n N) for
+   d=1, O(n N^2) for d=2, N * O(n N^2) for d=3, all GEMMs on the systolic
+   array.  Unlike NFFT's windowed gridding there is NO window approximation
+   error; accuracy matches fastsum's periodization + truncation error
+   (TEST1 oracle).
+
+   All arithmetic is REAL (complex numbers carried as (re, im) pairs): the
+   axon TPU backend does not implement complex host transfers, and real
+   pairs let XLA pick the minimal matmul set.
 
 Additive kernels (nfft_interface.c:622-840): one plan per feature window,
 vmapped within groups of equal window dimension; the per-window outputs are
 averaged and the noise term added once.
 """
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..utils.pytree import pytree_dataclass
-from .kernels import KernelParams, base_kernel, _BASE_KERNELS
-
-
-def _complex_dtype(real_dtype):
-    return jnp.complex128 if real_dtype == jnp.float64 else jnp.complex64
+from .kernels import KernelParams, _BASE_KERNELS
 
 
 @pytree_dataclass(static_fields=("N", "d"))
 class FastsumGeometry:
-    """Per-dataset NDFT geometry: scaled points + phase matrices."""
+    """Per-dataset NDFT geometry: scaled points + real phase tables."""
 
     N: int
     d: int
     x: jnp.ndarray          # (n, d) centered+scaled points, radius <= 1/4
     scale: jnp.ndarray      # scalar coordinate scale
-    E: jnp.ndarray          # (d, n, N) complex: exp(-2 pi i k x)
+    Ec: jnp.ndarray         # (d, n, N) cos(-2 pi k x)
+    Es: jnp.ndarray         # (d, n, N) sin(-2 pi k x)
 
 
 def fastsum_geometry(X, N: int = 32) -> FastsumGeometry:
-    """Center/scale points and precompute phase matrices.
+    """Center/scale points and precompute phase tables.
 
     Ref: nfft_interface.c:150-213 (mean-centering, radius in [1/8, 1/4]).
     """
@@ -69,17 +69,15 @@ def fastsum_geometry(X, N: int = 32) -> FastsumGeometry:
     x = xc * scale
 
     k = jnp.arange(-(N // 2), N - N // 2, dtype=X.dtype)  # [-N/2, N/2)
-    cdtype = _complex_dtype(X.dtype)
     phase = -2.0 * jnp.pi * x[:, :, None] * k[None, None, :]   # (n, d, N)
-    # build via cos/sin (complex exp is not universally lowered on TPU)
-    E = jax.lax.complex(jnp.cos(phase), jnp.sin(phase)).astype(cdtype)
-    E = jnp.moveaxis(E, 1, 0)                                   # (d, n, N)
-    return FastsumGeometry(N=N, d=d, x=x, scale=scale, E=E)
+    Ec = jnp.moveaxis(jnp.cos(phase), 1, 0)                    # (d, n, N)
+    Es = jnp.moveaxis(jnp.sin(phase), 1, 0)
+    return FastsumGeometry(N=N, d=d, x=x, scale=scale, Ec=Ec, Es=Es)
 
 
 @pytree_dataclass(static_fields=("N", "d", "kind"))
 class FastsumPlan:
-    """Kernel-specific plan: geometry + Fourier coefficient stacks.
+    """Kernel-specific plan: geometry + real Fourier coefficient stacks.
 
     The fast matrix IS the plan (nfft_interface.c:258-259).
     """
@@ -88,8 +86,8 @@ class FastsumPlan:
     d: int
     kind: str
     geom: FastsumGeometry
-    b: jnp.ndarray          # (N,)*d kernel coefficients (shifted order)
-    db_l: jnp.ndarray       # (N,)*d coefficients of dk/dl
+    b: jnp.ndarray          # (N,)*d kernel coefficients (shifted order, real)
+    db_l: jnp.ndarray       # (N,)*d coefficients of dk/dl (real)
     params: KernelParams
 
 
@@ -101,17 +99,20 @@ def _torus_grid_r2(N: int, d: int, dtype):
 
 
 def fastsum_coeffs(kind: str, params: KernelParams, geom: FastsumGeometry) -> FastsumPlan:
-    """Sample the (scaled) kernel on the torus grid and FFT — per params."""
+    """Sample the (scaled) kernel on the torus grid and FFT — per params.
+
+    phi is an even function on the torus so the DFT is real; the real part is
+    kept (imag is roundoff), stored in shifted mode order (index m <-> mode
+    k = m - N/2, matching the phase tables).
+    """
     N, d = geom.N, geom.d
     dtype = geom.x.dtype
     r2g = _torus_grid_r2(N, d, dtype)
     r2_true = r2g / (geom.scale * geom.scale)
     k_samp, dk_dl_samp = _BASE_KERNELS[kind](r2_true, params.l)
 
-    # fftshift moves k=0 to index N/2: index m corresponds to k = m - N/2,
-    # matching the mode order of the phase matrices E
-    b = jnp.fft.fftshift(jnp.fft.fftn(k_samp)) / (N**d)
-    db_l = jnp.fft.fftshift(jnp.fft.fftn(dk_dl_samp)) / (N**d)
+    b = jnp.real(jnp.fft.fftshift(jnp.fft.fftn(k_samp))).astype(dtype) / (N**d)
+    db_l = jnp.real(jnp.fft.fftshift(jnp.fft.fftn(dk_dl_samp))).astype(dtype) / (N**d)
     return FastsumPlan(N=N, d=d, kind=kind, geom=geom, b=b, db_l=db_l, params=params)
 
 
@@ -119,48 +120,65 @@ def fastsum_build(kind: str, params: KernelParams, X, N: int = 32) -> FastsumPla
     return fastsum_coeffs(kind, params, fastsum_geometry(X, N))
 
 
-# --- exact separable NDFTs -------------------------------------------------
+# --- exact separable NDFTs (real-pair arithmetic) --------------------------
 
-def _ndft_adjoint(E, alpha):
-    """\\hat e_k = sum_i alpha_i prod_d E[d, i, k_d]; returns (N,)*d tensor."""
-    d = E.shape[0]
-    ac = alpha.astype(E.dtype)
+def _ndft_adjoint(Ec, Es, alpha):
+    """(re, im) of \\hat e_k = sum_i alpha_i prod_d E[d, i, k_d]."""
+    d = Ec.shape[0]
     if d == 1:
-        return E[0].T @ ac
+        return Ec[0].T @ alpha, Es[0].T @ alpha
     if d == 2:
-        return (E[0] * ac[:, None]).T @ E[1]
+        a = alpha[:, None]
+        A_re = Ec[0] * a
+        A_im = Es[0] * a
+        re = A_re.T @ Ec[1] - A_im.T @ Es[1]
+        im = A_re.T @ Es[1] + A_im.T @ Ec[1]
+        return re, im
     if d == 3:
-        # loop over the last dim's modes: N small batched GEMMs
-        def one_mode(e3_col):
-            w = ac * e3_col
-            return (E[0] * w[:, None]).T @ E[1]
+        # loop over the last dim's modes: N batched GEMM pairs
+        def one_mode(c3, s3):
+            wr = alpha * c3
+            wi = alpha * s3
+            A_re = Ec[0] * wr[:, None] - Es[0] * wi[:, None]
+            A_im = Ec[0] * wi[:, None] + Es[0] * wr[:, None]
+            re = A_re.T @ Ec[1] - A_im.T @ Es[1]
+            im = A_re.T @ Es[1] + A_im.T @ Ec[1]
+            return re, im
 
-        out = jax.vmap(one_mode, in_axes=1, out_axes=2)(E[2])
-        return out
+        res, ims = jax.vmap(one_mode, in_axes=(1, 1), out_axes=2)(Ec[2], Es[2])
+        return res, ims
     raise NotImplementedError(f"fastsum supports window dims 1..3, got {d}")
 
 
-def _ndft_forward(E, c):
-    """f_i = sum_k c_k prod_d conj(E[d, i, k_d]); returns (n,) complex."""
-    d = E.shape[0]
-    Ec = [jnp.conj(E[i]) for i in range(d)]
+def _ndft_forward_real(Ec, Es, Cre, Cim):
+    """f_i = Re[ sum_k C_k prod_d conj(E[d, i, k_d]) ] with conj(E) = Ec - i Es."""
+    d = Ec.shape[0]
     if d == 1:
-        return Ec[0] @ c
+        return Ec[0] @ Cre + Es[0] @ Cim
     if d == 2:
-        return jnp.sum((Ec[0] @ c) * Ec[1], axis=1)
+        T_re = Ec[0] @ Cre + Es[0] @ Cim
+        T_im = Ec[0] @ Cim - Es[0] @ Cre
+        return jnp.sum(T_re * Ec[1] + T_im * Es[1], axis=1)
     if d == 3:
-        def one_mode(c2, e3_col):
-            return jnp.sum((Ec[0] @ c2) * Ec[1], axis=1) * e3_col
+        def one_mode(C2re, C2im, c3, s3):
+            T_re = Ec[0] @ C2re + Es[0] @ C2im
+            T_im = Ec[0] @ C2im - Es[0] @ C2re
+            U_re = jnp.sum(T_re * Ec[1] + T_im * Es[1], axis=1)
+            U_im = jnp.sum(T_im * Ec[1] - T_re * Es[1], axis=1)
+            return U_re * c3 + U_im * s3
 
-        parts = jax.vmap(one_mode, in_axes=(2, 1), out_axes=0)(c, Ec[2])
+        parts = jax.vmap(one_mode, in_axes=(2, 2, 1, 1), out_axes=0)(
+            Cre, Cim, Ec[2], Es[2]
+        )
         return jnp.sum(parts, axis=0)
     raise NotImplementedError
 
 
 def fastsum_base_apply(plan: FastsumPlan, coeffs, x):
     """Re[ NDFT2( coeffs * NDFT1(x) ) ] — the pure kernel-sum (no f^2/mu)."""
-    e_hat = _ndft_adjoint(plan.geom.E, x)
-    return jnp.real(_ndft_forward(plan.geom.E, coeffs.astype(e_hat.dtype) * e_hat)).astype(x.dtype)
+    g = plan.geom
+    e_re, e_im = _ndft_adjoint(g.Ec, g.Es, x)
+    return _ndft_forward_real(g.Ec, g.Es, coeffs * e_re, coeffs * e_im)
 
 
 def fastsum_matvec(plan: FastsumPlan, x):
@@ -173,10 +191,11 @@ def fastsum_matvec(plan: FastsumPlan, x):
 def fastsum_grad_matvec(plan: FastsumPlan, x):
     """(3, n) stacked dK_j x — ref nfft_interface.c:499-620."""
     p = plan.params
+    g = plan.geom
     f2 = p.f * p.f
-    e_hat = _ndft_adjoint(plan.geom.E, x)
-    k_part = jnp.real(_ndft_forward(plan.geom.E, plan.b.astype(e_hat.dtype) * e_hat)).astype(x.dtype)
-    dl_part = jnp.real(_ndft_forward(plan.geom.E, plan.db_l.astype(e_hat.dtype) * e_hat)).astype(x.dtype)
+    e_re, e_im = _ndft_adjoint(g.Ec, g.Es, x)
+    k_part = _ndft_forward_real(g.Ec, g.Es, plan.b * e_re, plan.b * e_im)
+    dl_part = _ndft_forward_real(g.Ec, g.Es, plan.db_l * e_re, plan.db_l * e_im)
     y_f = 2.0 * p.f * (k_part + p.mu * x)
     y_l = f2 * dl_part
     y_mu = f2 * x
@@ -188,12 +207,12 @@ def fastsum_grad_matvec(plan: FastsumPlan, x):
 class AdditiveFastsumGeometry(NamedTuple):
     """Per-window geometries grouped by window dimensionality.
 
-    groups: list of (dims_tuple_members, FastsumGeometry-batched) pairs where
-    the batched geometry stacks E as (Wg, dw, n, N).
+    groups: tuple of (dw, window_ids, batched FastsumGeometry) where the
+    batched geometry stacks the phase tables as (Wg, dw, n, N).
     """
 
     n_windows: int
-    groups: tuple   # tuple of (dw, batched FastsumGeometry)
+    groups: tuple
 
 
 def additive_fastsum_geometry(X, windows, N: int = 32) -> AdditiveFastsumGeometry:
@@ -256,10 +275,11 @@ def additive_fastsum_grad_matvec(plan: AdditiveFastsumPlan, x):
     l_acc = jnp.zeros_like(x)
     for dw, order, plans in plan.groups:
         def one(pl):
-            e_hat = _ndft_adjoint(pl.geom.E, x)
-            kp = jnp.real(_ndft_forward(pl.geom.E, pl.b.astype(e_hat.dtype) * e_hat))
-            lp = jnp.real(_ndft_forward(pl.geom.E, pl.db_l.astype(e_hat.dtype) * e_hat))
-            return kp.astype(x.dtype), lp.astype(x.dtype)
+            g = pl.geom
+            e_re, e_im = _ndft_adjoint(g.Ec, g.Es, x)
+            kp = _ndft_forward_real(g.Ec, g.Es, pl.b * e_re, pl.b * e_im)
+            lp = _ndft_forward_real(g.Ec, g.Es, pl.db_l * e_re, pl.db_l * e_im)
+            return kp, lp
 
         kps, lps = jax.vmap(one)(plans)
         k_acc = k_acc + jnp.sum(kps, axis=0)

@@ -73,18 +73,21 @@ def test_pcg_on_sharded_inputs(mesh, problem):
 
 
 def test_fastsum_on_sharded_points(mesh, problem):
-    """NDFT phase matrices row-sharded: the adjoint contraction all-reduces
+    """NDFT phase tables row-sharded: the adjoint contraction all-reduces
     the small mode tensor, the forward stays local — SURVEY.md §2.15."""
+    import dataclasses
+
     X, p, K, b = problem
     plan = fastsum_build("gaussian", p, X, N=32)
     sh_E = NamedSharding(mesh, P(None, "points", None))
-    plan_s = jax.tree_util.tree_map(lambda x: x, plan)
-    E_s = jax.device_put(plan.geom.E, sh_E)
-    import dataclasses
-
-    geom_s = dataclasses.replace(plan.geom, E=E_s, x=shard_points(mesh, plan.geom.x))
+    geom_s = dataclasses.replace(
+        plan.geom,
+        Ec=jax.device_put(plan.geom.Ec, sh_E),
+        Es=jax.device_put(plan.geom.Es, sh_E),
+        x=shard_points(mesh, plan.geom.x),
+    )
     plan_s = dataclasses.replace(plan, geom=geom_s)
     b_s = shard_points(mesh, b)
-    y = jax.jit(lambda v: fastsum_matvec(plan_s, v))(b_s)
+    y = jax.jit(fastsum_matvec)(plan_s, b_s)
     y_ref = fastsum_matvec(plan, b)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-9)
