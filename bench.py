@@ -61,18 +61,24 @@ def main():
     plan = jax.jit(
         lambda Xv: additive_fastsum_build("gaussian", params, Xv, windows, N=32)
     )(X)
-    mv = jax.jit(additive_fastsum_matvec)
+    iters = 50
+
+    # the timing loop lives inside ONE jit so per-dispatch latency (large
+    # through the remote TPU tunnel) is amortized out of the measurement
+    @jax.jit
+    def run(plan, v):
+        def body(i, y):
+            y = y / jnp.linalg.norm(y)
+            return additive_fastsum_matvec(plan, y)
+
+        return jax.lax.fori_loop(0, iters, body, v)
 
     # warm-up / compile
-    y = jax.block_until_ready(mv(plan, x))
+    y = jax.block_until_ready(run(plan, x))
     assert bool(jnp.isfinite(y).all())
 
-    norm = jax.jit(lambda v: v / jnp.linalg.norm(v))
-    iters = 20
     t0 = time.perf_counter()
-    for _ in range(iters):
-        y = mv(plan, norm(y))
-    jax.block_until_ready(y)
+    y = jax.block_until_ready(run(plan, x))
     t1 = time.perf_counter()
 
     per_matvec = (t1 - t0) / iters
