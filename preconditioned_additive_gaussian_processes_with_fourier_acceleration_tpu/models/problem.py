@@ -212,3 +212,52 @@ class GPProblem:
                 with_std=with_std, maxits=maxits or 2 * self.maxits * 10,
             )
         return (res.mean, res.std) if with_std else res.mean
+
+    # --- checkpoint / resume (new capability; the reference only keeps
+    # in-memory Adam histories, adam.h:37-42) ------------------------------
+
+    def save(self, path):
+        """Persist fitted hyperparameters + config + loss history (.npz)."""
+        import numpy as np
+
+        cfg = {
+            k: getattr(self, k)
+            for k in (
+                "kernel", "operator", "precond", "transform", "rank", "lfil",
+                "maxits", "nvecs", "tol", "fastsum_N", "seed",
+            )
+        }
+        np.savez(
+            path,
+            raw_params=np.asarray(self.raw_params_) if self.raw_params_ is not None else np.zeros(0),
+            loss_history=np.asarray(self.loss_history_),
+            windows=np.asarray(
+                [len(w) for w in self.windows] + sum(self.windows, [])
+                if self.windows else []
+            ),
+            n_windows=len(self.windows) if self.windows else 0,
+            config=np.asarray([str(cfg)]),
+        )
+
+    @staticmethod
+    def load(path):
+        """Restore a fitted problem (config via eval of the saved dict repr)."""
+        import ast
+        import numpy as np
+
+        data = np.load(path, allow_pickle=False)
+        cfg = ast.literal_eval(str(data["config"][0]))
+        nw = int(data["n_windows"])
+        windows = None
+        if nw:
+            flat = data["windows"].tolist()
+            lens, rest = flat[:nw], flat[nw:]
+            windows, pos = [], 0
+            for L in lens:
+                windows.append([int(v) for v in rest[pos : pos + L]])
+                pos += L
+        prob = GPProblem(windows=windows, **cfg)
+        if data["raw_params"].size:
+            prob.raw_params_ = jnp.asarray(data["raw_params"])
+        prob.loss_history_ = data["loss_history"].tolist()
+        return prob
