@@ -137,6 +137,29 @@ def gp_loss(
     )
 
 
+def gp_loss_gaussian_ran_softplus(
+    raw_params, X, y, probes, *, rank: int = 50, maxits: int = 10, tol: float = 1e-6,
+    perm=None,
+):
+    """Convenience loss: Gaussian kernel + Nyström ("RAN") preconditioner +
+    softplus transform — ref Nfft4GPGpLossGaussianRANSoftPlus (gp_loss.c:28-94).
+    """
+    from ..preconds.nystrom import nystrom_setup
+    from ..utils.datasets import expand_perm
+
+    n = X.shape[0]
+    k = min(rank, n)
+    if perm is None:
+        perm = expand_perm(jnp.arange(k), n)
+    cfg = GPConfig(kind="gaussian", maxits=maxits, nvecs=probes.shape[0], tol=tol)
+    build = make_dense_ops("gaussian", X)
+
+    def precond_setup(params):
+        return nystrom_setup("gaussian", params, X, perm, k, require_grad=True)
+
+    return gp_loss(raw_params, y, build, probes, cfg, precond_setup)
+
+
 class GPPredictResult(NamedTuple):
     mean: jnp.ndarray
     std: Optional[jnp.ndarray]

@@ -26,39 +26,20 @@ class FgmresResult(NamedTuple):
     converged: jnp.ndarray
 
 
-def _mgs(w, V, j, kdim, reorth_tol=0.7071067811865475):
-    """Modified Gram-Schmidt of w against V[0..j] with one selective re-orth.
+def _cgs2(w, V):
+    """Two-pass classical Gram-Schmidt of w against the rows of V.
 
-    Returns (w_orth, h[kdim+1], t=||w_orth||). Mirrors Nfft4GPModifiedGS
-    (matops.c:274-346) with the re-orth loop capped at one pass.
+    Rows of V past the current Arnoldi step are zero, so they contribute
+    nothing — no masking or sequential loop needed.  Two batched GEMVs per
+    pass replace the reference's sequential MGS + selective re-orth
+    (matops.c:274-346): CGS2 has the same stability and maps to the MXU.
+    Returns (w_orth, h, ||w_orth||).
     """
-    normw0 = jnp.linalg.norm(w)
-
-    def pass_once(w):
-        h = jnp.zeros((kdim + 1,), dtype=w.dtype)
-
-        def body(i, carry):
-            w, h = carry
-            t1 = jnp.vdot(V[i], w)
-            t1 = jnp.where(i <= j, t1, 0.0)
-            w = w - t1 * V[i]
-            h = h.at[i].add(t1)
-            return (w, h)
-
-        w, h = lax.fori_loop(0, kdim + 1, body, (w, h))
-        return w, h
-
-    w, h = pass_once(w)
-    t = jnp.linalg.norm(w)
-
-    def reorth(args):
-        w, h, t = args
-        w, h2 = pass_once(w)
-        return w, h + h2, jnp.linalg.norm(w)
-
-    need = jnp.logical_and(t < normw0 * reorth_tol, t > 0.0)
-    w, h, t = lax.cond(need, reorth, lambda a: a, (w, h, t))
-    return w, h, t
+    h1 = V @ w
+    w = w - h1 @ V
+    h2 = V @ w
+    w = w - h2 @ V
+    return w, h1 + h2, jnp.linalg.norm(w)
 
 
 def fgmres(
@@ -109,7 +90,7 @@ def fgmres(
             zj = psolve(V[j])
             Z = Z.at[j].set(zj)
             w = matvec(zj)
-            w, h, t = _mgs(w, V, j, kdim)
+            w, h, t = _cgs2(w, V)
             h = h.at[j + 1].set(t)
             lucky = t <= jnp.finfo(dtype).eps * safe_normb
             safe_t = jnp.where(t == 0, 1.0, t)

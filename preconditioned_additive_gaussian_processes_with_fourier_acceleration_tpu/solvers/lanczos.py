@@ -80,32 +80,19 @@ def lanczos(
         w = matvec(V[it])  # z_new = A v_it
 
         # two-basis Gram-Schmidt against (V, Z)[0..it]; coefficients at it
-        # and it-1 are the tridiagonal entries, with a selective re-orth pass
-        # at shrink tol 1/sqrt(2) (ref matops.c:375-433, Nfft4GPModifiedGS2)
-        def gs_body(i, carry):
-            w, td, te = carry
-            t1 = jnp.vdot(V[i], w)
-            act = i <= it
-            t1 = jnp.where(act, t1, 0.0)
-            w = w - t1 * Z[i]
-            td = td + jnp.where(i == it, t1, 0.0)
-            te = te + jnp.where(i == it - 1, t1, 0.0)
-            return (w, td, te)
-
-        def gs_pass(w, td, te):
-            return lax.fori_loop(0, maxits + 1, gs_body, (w, td, te))
-
+        # and it-1 are the tridiagonal entries.  Two batched GEMV passes
+        # (CGS2) replace the reference's sequential MGS2 + selective re-orth
+        # (matops.c:346-433): rows past `it` are zero so no masking is
+        # needed, and re-orth coefficients accumulate into TD/TE exactly
+        # like the C re-orth loop does.
         if full_reorth:
-            normw0 = jnp.linalg.norm(w)
-            zero = jnp.asarray(0.0, dtype)
-            w, td, te = gs_pass(w, zero, zero)
-            t_after = jnp.linalg.norm(w)
-            w, td, te = lax.cond(
-                (t_after < 0.7071067811865475 * normw0) & (t_after >= eps),
-                lambda args: gs_pass(*args),
-                lambda args: args,
-                (w, td, te),
-            )
+            t1 = V @ w
+            w = w - t1 @ Z
+            t2 = V @ w
+            w = w - t2 @ Z
+            coeff = t1 + t2
+            td = coeff[it]
+            te = jnp.where(it > 0, coeff[jnp.maximum(it - 1, 0)], 0.0)
         else:
             # window of 2 (classic three-term recursion)
             td = jnp.vdot(V[it], w)
