@@ -268,6 +268,33 @@ def additive_fastsum_matvec(plan: AdditiveFastsumPlan, x):
     return f2 * (acc / plan.n_windows + p.mu * x)
 
 
+def additive_fastsum_matvec_fused(plan: AdditiveFastsumPlan, x, *, block: int = 4096,
+                                  interpret: bool = False):
+    """Additive matvec via the Pallas fused-phase NDFT kernels.
+
+    Regenerates phases in VMEM instead of reading the (d, n, N) tables from
+    HBM (ops/pallas_ndft.py) — the speed-of-light path for 1-2D windows;
+    3D windows fall back to the table path.
+    """
+    from .pallas_ndft import fused_window_apply
+
+    p = plan.params
+    acc = jnp.zeros_like(x)
+    for dw, order, plans in plan.groups:
+        if dw <= 2:
+            Wg = plans.b.shape[0]
+            for w in range(Wg):
+                pl_w = jax.tree_util.tree_map(lambda a: a[w], plans)
+                acc = acc + fused_window_apply(
+                    pl_w.geom.x, x, pl_w.b, pl_w.N, block=block, interpret=interpret
+                )
+        else:
+            contrib = jax.vmap(lambda pl_: fastsum_base_apply(pl_, pl_.b, x))(plans)
+            acc = acc + jnp.sum(contrib, axis=0)
+    f2 = p.f * p.f
+    return f2 * (acc / plan.n_windows + p.mu * x)
+
+
 def additive_fastsum_grad_matvec(plan: AdditiveFastsumPlan, x):
     """(3, n) — ref Nfft4GPAdditiveNFFTGradMatSymv nfft_interface.c:819-840."""
     p = plan.params
