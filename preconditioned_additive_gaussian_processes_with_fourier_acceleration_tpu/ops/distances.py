@@ -13,12 +13,16 @@ def sq_distance(X, Y=None):
     """Pairwise squared Euclidean distances.
 
     X: (n, d); Y: (m, d) or None (Y = X). Returns (n, m).
+
+    The cross GEMM runs at highest matmul precision: the TPU default
+    (bfloat16 passes) makes d2 indefinite enough to break the Cholesky of
+    kernel blocks built from it.
     """
     if Y is None:
         Y = X
     xx = jnp.sum(X * X, axis=1)[:, None]
     yy = jnp.sum(Y * Y, axis=1)[None, :]
-    cross = X @ Y.T
+    cross = jnp.matmul(X, Y.T, precision="highest")
     d2 = xx + yy - 2.0 * cross
     return jnp.maximum(d2, 0.0)
 

@@ -122,17 +122,23 @@ def fastsum_build(kind: str, params: KernelParams, X, N: int = 32) -> FastsumPla
 
 # --- exact separable NDFTs (real-pair arithmetic) --------------------------
 
+def _hmat(a, b):
+    """Matmul at highest precision (bf16 default degrades NDFT accuracy)."""
+    return jnp.matmul(a, b, precision="highest")
+
+
 def _ndft_adjoint(Ec, Es, alpha):
     """(re, im) of \\hat e_k = sum_i alpha_i prod_d E[d, i, k_d]."""
     d = Ec.shape[0]
     if d == 1:
-        return Ec[0].T @ alpha, Es[0].T @ alpha
+        return (jnp.matmul(Ec[0].T, alpha, precision='highest'),
+                jnp.matmul(Es[0].T, alpha, precision='highest'))
     if d == 2:
         a = alpha[:, None]
         A_re = Ec[0] * a
         A_im = Es[0] * a
-        re = A_re.T @ Ec[1] - A_im.T @ Es[1]
-        im = A_re.T @ Es[1] + A_im.T @ Ec[1]
+        re = _hmat(A_re.T, Ec[1]) - _hmat(A_im.T, Es[1])
+        im = _hmat(A_re.T, Es[1]) + _hmat(A_im.T, Ec[1])
         return re, im
     if d == 3:
         # loop over the last dim's modes: N batched GEMM pairs
@@ -141,8 +147,8 @@ def _ndft_adjoint(Ec, Es, alpha):
             wi = alpha * s3
             A_re = Ec[0] * wr[:, None] - Es[0] * wi[:, None]
             A_im = Ec[0] * wi[:, None] + Es[0] * wr[:, None]
-            re = A_re.T @ Ec[1] - A_im.T @ Es[1]
-            im = A_re.T @ Es[1] + A_im.T @ Ec[1]
+            re = _hmat(A_re.T, Ec[1]) - _hmat(A_im.T, Es[1])
+            im = _hmat(A_re.T, Es[1]) + _hmat(A_im.T, Ec[1])
             return re, im
 
         res, ims = jax.vmap(one_mode, in_axes=(1, 1), out_axes=2)(Ec[2], Es[2])
@@ -154,15 +160,15 @@ def _ndft_forward_real(Ec, Es, Cre, Cim):
     """f_i = Re[ sum_k C_k prod_d conj(E[d, i, k_d]) ] with conj(E) = Ec - i Es."""
     d = Ec.shape[0]
     if d == 1:
-        return Ec[0] @ Cre + Es[0] @ Cim
+        return _hmat(Ec[0], Cre) + _hmat(Es[0], Cim)
     if d == 2:
-        T_re = Ec[0] @ Cre + Es[0] @ Cim
-        T_im = Ec[0] @ Cim - Es[0] @ Cre
+        T_re = _hmat(Ec[0], Cre) + _hmat(Es[0], Cim)
+        T_im = _hmat(Ec[0], Cim) - _hmat(Es[0], Cre)
         return jnp.sum(T_re * Ec[1] + T_im * Es[1], axis=1)
     if d == 3:
         def one_mode(C2re, C2im, c3, s3):
-            T_re = Ec[0] @ C2re + Es[0] @ C2im
-            T_im = Ec[0] @ C2im - Es[0] @ C2re
+            T_re = _hmat(Ec[0], C2re) + _hmat(Es[0], C2im)
+            T_im = _hmat(Ec[0], C2im) - _hmat(Es[0], C2re)
             U_re = jnp.sum(T_re * Ec[1] + T_im * Es[1], axis=1)
             U_im = jnp.sum(T_im * Ec[1] - T_re * Es[1], axis=1)
             return U_re * c3 + U_im * s3

@@ -89,7 +89,7 @@ class NystromPrecond:
     def trace(self):
         """(3,) tr(M^{-1} dM_j) via Woodbury — ref nys.c:332-488."""
         k = self.k
-        UfU = self.Uf.T @ self.Uf + self.eta * jnp.eye(k, dtype=self.Uf.dtype)
+        UfU = jnp.matmul(self.Uf.T, self.Uf, precision="highest") + self.eta * jnp.eye(k, dtype=self.Uf.dtype)
         Lw = jnp.linalg.cholesky(UfU)
         W = chol_solve(Lw, self.Uf.T).T        # (n, k): Uf (eta I + Uf'Uf)^{-1}
 

@@ -35,10 +35,11 @@ def _cgs2(w, V):
     (matops.c:274-346): CGS2 has the same stability and maps to the MXU.
     Returns (w_orth, h, ||w_orth||).
     """
-    h1 = V @ w
-    w = w - h1 @ V
-    h2 = V @ w
-    w = w - h2 @ V
+    hp = lambda a, b: jnp.matmul(a, b, precision="highest")
+    h1 = hp(V, w)
+    w = w - hp(h1, V)
+    h2 = hp(V, w)
+    w = w - hp(h2, V)
     return w, h1 + h2, jnp.linalg.norm(w)
 
 
@@ -140,7 +141,7 @@ def fgmres(
         R = R + jnp.diag(jnp.where(active_col, 0.0, 1.0))
         ge = jnp.where(active_col, g[:kdim], 0.0)
         y = jax.scipy.linalg.solve_triangular(R, ge, lower=False)
-        x = x + Z.T @ y
+        x = x + jnp.matmul(Z.T, y, precision="highest")
 
         total_it = total_it + j
         stop = jnp.logical_or(res <= tolb, total_it >= maxits)

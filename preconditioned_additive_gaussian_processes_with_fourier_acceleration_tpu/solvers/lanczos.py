@@ -86,10 +86,11 @@ def lanczos(
         # needed, and re-orth coefficients accumulate into TD/TE exactly
         # like the C re-orth loop does.
         if full_reorth:
-            t1 = V @ w
-            w = w - t1 @ Z
-            t2 = V @ w
-            w = w - t2 @ Z
+            hp = lambda a, b: jnp.matmul(a, b, precision="highest")
+            t1 = hp(V, w)
+            w = w - hp(t1, Z)
+            t2 = hp(V, w)
+            w = w - hp(t2, Z)
             coeff = t1 + t2
             td = coeff[it]
             te = jnp.where(it > 0, coeff[jnp.maximum(it - 1, 0)], 0.0)
@@ -164,7 +165,7 @@ def lanczos(
     e1 = jnp.zeros((maxits,), dtype).at[0].set(beta0)
     y = jnp.linalg.solve(T, e1)
     y = jnp.where(idx < tsize, y, 0.0)
-    x = V[:maxits].T @ y
+    x = jnp.matmul(V[:maxits].T, y, precision="highest")
 
     return LanczosResult(
         x=x,
