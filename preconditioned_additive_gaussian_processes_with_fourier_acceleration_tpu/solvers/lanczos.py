@@ -43,13 +43,16 @@ def lanczos(
     precond: Optional[Callable] = None,
     maxits: int = 50,
     full_reorth: bool = True,
+    wsize: Optional[int] = None,
     tol: float = 0.0,
     atol: bool = False,
 ) -> LanczosResult:
     """Preconditioned Lanczos on A with preconditioner M (x0 = 0).
 
     With tol=0 the recursion always runs maxits steps (the SLQ setting:
-    ref lanczos.c SLQ call passes tol=DBL_EPSILON).
+    ref lanczos.c SLQ call passes tol=DBL_EPSILON).  wsize limits the
+    reorthogonalization window (ref lanczos.c wsize; None/full_reorth=True =
+    full window, full_reorth=False = classic 3-term recursion).
     """
     n = b.shape[0]
     dtype = b.dtype
@@ -87,9 +90,14 @@ def lanczos(
         # like the C re-orth loop does.
         if full_reorth:
             hp = lambda a, b: jnp.matmul(a, b, precision="highest")
-            t1 = hp(V, w)
+            if wsize is not None:
+                row = jnp.arange(maxits + 1)
+                wmask = ((row > it - wsize) & (row <= it)).astype(dtype)
+            else:
+                wmask = 1.0
+            t1 = hp(V, w) * wmask
             w = w - hp(t1, Z)
-            t2 = hp(V, w)
+            t2 = hp(V, w) * wmask
             w = w - hp(t2, Z)
             coeff = t1 + t2
             td = coeff[it]
