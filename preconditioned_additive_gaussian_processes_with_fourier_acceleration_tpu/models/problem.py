@@ -50,6 +50,7 @@ class GPProblem:
     tol: float = 1e-6
     fastsum_N: int = 32
     seed: int = 0
+    mask: tuple = (1, 1, 1)      # which of (f, l, mu) receive gradients
 
     # filled by fit()
     raw_params_: Optional[jnp.ndarray] = None
@@ -61,7 +62,7 @@ class GPProblem:
     def _cfg(self):
         return GPConfig(
             kind=self.kernel, transform=self.transform, maxits=self.maxits,
-            nvecs=self.nvecs, tol=self.tol,
+            nvecs=self.nvecs, tol=self.tol, mask=tuple(self.mask),
         )
 
     def _build_ops_factory(self, X):
