@@ -98,12 +98,20 @@ def _torus_grid_r2(N: int, d: int, dtype):
     return sum(gi * gi for gi in grids)
 
 
-def fastsum_coeffs(kind: str, params: KernelParams, geom: FastsumGeometry) -> FastsumPlan:
+def fastsum_coeffs(kind: str, params: KernelParams, geom: FastsumGeometry,
+                   *, psd_clip: bool = True) -> FastsumPlan:
     """Sample the (scaled) kernel on the torus grid and FFT — per params.
 
     phi is an even function on the torus so the DFT is real; the real part is
     kept (imag is roundoff), stored in shifted mode order (index m <-> mode
     k = m - N/2, matching the phase tables).
+
+    psd_clip: the true spectra of these kernels are positive; small negative
+    coefficients are pure truncation/aliasing error, and clipping them to 0
+    projects the fast operator onto the PSD cone — PCG then never breaks down
+    on the Fourier operator (the reference's unclipped fastsum operator is
+    only approximately SPD, which is why its loss path uses FGMRES,
+    gp_loss.c:199-213).  The derivative coefficients are left unclipped.
     """
     N, d = geom.N, geom.d
     dtype = geom.x.dtype
@@ -112,6 +120,8 @@ def fastsum_coeffs(kind: str, params: KernelParams, geom: FastsumGeometry) -> Fa
     k_samp, dk_dl_samp = _BASE_KERNELS[kind](r2_true, params.l)
 
     b = jnp.real(jnp.fft.fftshift(jnp.fft.fftn(k_samp))).astype(dtype) / (N**d)
+    if psd_clip:
+        b = jnp.maximum(b, 0.0)
     db_l = jnp.real(jnp.fft.fftshift(jnp.fft.fftn(dk_dl_samp))).astype(dtype) / (N**d)
     return FastsumPlan(N=N, d=d, kind=kind, geom=geom, b=b, db_l=db_l, params=params)
 
