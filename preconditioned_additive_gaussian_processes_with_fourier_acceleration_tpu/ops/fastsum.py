@@ -99,19 +99,23 @@ def _torus_grid_r2(N: int, d: int, dtype):
 
 
 def fastsum_coeffs(kind: str, params: KernelParams, geom: FastsumGeometry,
-                   *, psd_clip: bool = True) -> FastsumPlan:
+                   *, psd_clip: bool = False) -> FastsumPlan:
     """Sample the (scaled) kernel on the torus grid and FFT — per params.
 
     phi is an even function on the torus so the DFT is real; the real part is
     kept (imag is roundoff), stored in shifted mode order (index m <-> mode
     k = m - N/2, matching the phase tables).
 
-    psd_clip: the true spectra of these kernels are positive; small negative
-    coefficients are pure truncation/aliasing error, and clipping them to 0
-    projects the fast operator onto the PSD cone — PCG then never breaks down
-    on the Fourier operator (the reference's unclipped fastsum operator is
-    only approximately SPD, which is why its loss path uses FGMRES,
-    gp_loss.c:199-213).  The derivative coefficients are left unclipped.
+    psd_clip (default False): the true spectra of these kernels are positive;
+    negative coefficients are truncation/aliasing artifacts, and clipping
+    them to 0 projects the fast operator onto the PSD cone so PCG never
+    breaks down (the reference's unclipped fastsum operator is only
+    approximately SPD, which is why its loss path uses FGMRES,
+    gp_loss.c:199-213).  Clipping costs pointwise accuracy at long
+    lengthscales (the negative tail partially cancels periodization error),
+    so it is opt-in: enable for PCG on the Fourier operator, leave off for
+    FGMRES/SLQ paths and accuracy parity.  Derivative coefficients are never
+    clipped.
     """
     N, d = geom.N, geom.d
     dtype = geom.x.dtype
@@ -126,8 +130,9 @@ def fastsum_coeffs(kind: str, params: KernelParams, geom: FastsumGeometry,
     return FastsumPlan(N=N, d=d, kind=kind, geom=geom, b=b, db_l=db_l, params=params)
 
 
-def fastsum_build(kind: str, params: KernelParams, X, N: int = 32) -> FastsumPlan:
-    return fastsum_coeffs(kind, params, fastsum_geometry(X, N))
+def fastsum_build(kind: str, params: KernelParams, X, N: int = 32,
+                  *, psd_clip: bool = False) -> FastsumPlan:
+    return fastsum_coeffs(kind, params, fastsum_geometry(X, N), psd_clip=psd_clip)
 
 
 # --- exact separable NDFTs (real-pair arithmetic) --------------------------
@@ -260,17 +265,21 @@ class AdditiveFastsumPlan(NamedTuple):
 
 
 def additive_fastsum_coeffs(
-    kind: str, params: KernelParams, geom: AdditiveFastsumGeometry
+    kind: str, params: KernelParams, geom: AdditiveFastsumGeometry,
+    *, psd_clip: bool = False,
 ) -> AdditiveFastsumPlan:
     plan_groups = []
     for dw, order, bg in geom.groups:
-        plans = jax.vmap(lambda g: fastsum_coeffs(kind, params, g))(bg)
+        plans = jax.vmap(lambda g: fastsum_coeffs(kind, params, g, psd_clip=psd_clip))(bg)
         plan_groups.append((dw, order, plans))
     return AdditiveFastsumPlan(n_windows=geom.n_windows, groups=tuple(plan_groups), params=params)
 
 
-def additive_fastsum_build(kind, params, X, windows, N: int = 32):
-    return additive_fastsum_coeffs(kind, params, additive_fastsum_geometry(X, windows, N))
+def additive_fastsum_build(kind, params, X, windows, N: int = 32,
+                           *, psd_clip: bool = False):
+    return additive_fastsum_coeffs(
+        kind, params, additive_fastsum_geometry(X, windows, N), psd_clip=psd_clip
+    )
 
 
 def additive_fastsum_matvec(plan: AdditiveFastsumPlan, x):

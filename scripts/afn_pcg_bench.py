@@ -78,7 +78,7 @@ def main():
           flush=True)
 
     t0 = time.time()
-    plan = jax.jit(lambda Xv: additive_fastsum_build("gaussian", params, Xv, windows))(X)
+    plan = jax.jit(lambda Xv: additive_fastsum_build("gaussian", params, Xv, windows, psd_clip=True))(X)
     mv = jax.jit(lambda pl_, v: additive_fastsum_matvec(pl_, v))
     jax.block_until_ready(mv(plan, b))
     print(f"fastsum plan+compile {time.time() - t0:.1f}s", flush=True)
