@@ -12,16 +12,29 @@ from jax.scipy.linalg import solve_triangular
 
 
 def stable_chol(K, extra_shift: float = 0.0):
-    """Cholesky with the reference's stabilization shift.
+    """Cholesky with the reference's stabilization shift + escalation.
 
     nu = sqrt(n) * ulp(||K||_F) added to the diagonal before factorization
-    (ref: chol.c:448-464; MATLAB ran_setup.m:22-83 uses eps(norm)).
+    (ref: chol.c:448-464; MATLAB ran_setup.m:22-83 uses eps(norm)).  Smooth
+    kernel blocks have eigenvalues decaying below single-precision eps, so if
+    the factorization produces NaNs the shift escalates (x1e2, x1e4, x1e6)
+    and the first finite factor wins — the stabilized-Nyström math absorbs
+    the shift (ran_setup.m's  S <- max(sigma^2 - nu, 0)).
     Returns (L, nu).
     """
     n = K.shape[0]
     fro = jnp.linalg.norm(K)
-    nu = jnp.sqrt(jnp.asarray(float(n), K.dtype)) * jnp.spacing(fro) + extra_shift
-    L = jnp.linalg.cholesky(K + nu * jnp.eye(n, dtype=K.dtype))
+    base = jnp.sqrt(jnp.asarray(float(n), K.dtype)) * jnp.spacing(fro) + extra_shift
+    eye = jnp.eye(n, dtype=K.dtype)
+
+    L = jnp.linalg.cholesky(K + base * eye)
+    nu = base
+    for mult in (1e2, 1e4, 1e6):
+        shift = base * mult
+        Lk = jnp.linalg.cholesky(K + shift * eye)
+        bad = jnp.isnan(L).any()
+        L = jnp.where(bad, Lk, L)
+        nu = jnp.where(bad, shift, nu)
     return L, nu
 
 

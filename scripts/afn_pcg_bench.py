@@ -118,8 +118,8 @@ def main():
     t0 = time.time()
     perm = expand_perm(rand_perm(jax.random.PRNGKey(7), n, args.rank), n)
     nys = jax.jit(
-        lambda: nystrom_setup("gaussian", params, X, perm, args.rank, windows=windows)
-    )()
+        lambda Xv, pp: nystrom_setup("gaussian", pp, Xv, perm, args.rank, windows=windows)
+    )(X, params)
     jax.block_until_ready(nys.U)
     print(f"nystrom setup {time.time() - t0:.1f}s", flush=True)
     solve("nystrom", nys)
@@ -132,8 +132,8 @@ def main():
     aplan = AfnPlan(perm=perm_a, k=args.rank, use_ran=False,
                     pattern=(np.asarray(idx), np.asarray(mask)))
     afn = jax.jit(
-        lambda: afn_setup_from_plan("gaussian", params, X, aplan, windows=windows)
-    )()
+        lambda Xv, pp: afn_setup_from_plan("gaussian", pp, Xv, aplan, windows=windows)
+    )(X, params)
     jax.block_until_ready(afn.L11)
     print(f"afn setup {time.time() - t0:.1f}s", flush=True)
     solve("afn", afn)
