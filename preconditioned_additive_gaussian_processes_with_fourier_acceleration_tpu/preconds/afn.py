@@ -84,12 +84,13 @@ class AfnPrecond:
         return chol_solve(self.L11, b)
 
     def solve(self, r):
+        hm = lambda a, b: jnp.matmul(a, b, precision="highest")
         x = r[self.perm]
         k = self.k
         xu, xl = x[:k], x[k:]
-        zl = xl - self.K12.T @ self._chol_solve(xu)
+        zl = xl - hm(self.K12.T, self._chol_solve(xu))
         yl = self.gs.solve(zl)
-        yu = self._chol_solve(xu - self.K12 @ yl)
+        yu = self._chol_solve(xu - hm(self.K12, yl))
         y = jnp.concatenate([yu, yl])
         return jnp.zeros_like(y).at[self.perm].set(y)
 
@@ -148,11 +149,12 @@ class AfnPrecond:
         dMz = self._dM_apply(zp)
 
         def solve_permuted(x):
+            hm = lambda a, b: jnp.matmul(a, b, precision="highest")
             k = self.k
             xu, xl = x[:k], x[k:]
-            zl = xl - self.K12.T @ self._chol_solve(xu)
+            zl = xl - hm(self.K12.T, self._chol_solve(xu))
             yl = self.gs.solve(zl)
-            yu = self._chol_solve(xu - self.K12 @ yl)
+            yu = self._chol_solve(xu - hm(self.K12, yl))
             return jnp.concatenate([yu, yl])
 
         px = jax.vmap(solve_permuted)(dMz)
@@ -221,6 +223,11 @@ def afn_setup_from_plan(
     windows=None,
 ):
     """Numeric factorization for a fixed plan — jittable, re-run per params."""
+    with jax.default_matmul_precision("highest"):
+        return _afn_setup_impl(kind, params, X, plan, require_grad, windows)
+
+
+def _afn_setup_impl(kind, params, X, plan, require_grad, windows):
     if plan.use_ran:
         return nystrom_setup(
             kind, params, X, jnp.asarray(plan.perm), plan.k,
@@ -248,7 +255,7 @@ def afn_setup_from_plan(
         dK11 = dK12 = None
 
     L11, _ = stable_chol(K11)
-    GK12 = tril_solve(L11, K12)
+    GK12 = tril_solve(L11, K12)  # triangular solves are full precision
 
     if require_grad:
         # dL11 = L phi(L^{-1} dK11 L^{-T})

@@ -53,9 +53,14 @@ class NystromPrecond:
         return self.U.shape[0]
 
     def _solve_permuted(self, y):
-        z = self.U.T @ y
-        out = (y - self.U @ z) / self.eta
-        return out + self.U @ (self.s * z)
+        # fused form M^{-1} y = y/eta + U ((s - 1/eta) (U' y)): one fewer
+        # U-product than the reference's sequence (nys.c:142-158), and at
+        # highest matmul precision — the 1/eta factor amplifies projector
+        # error, so bf16-precision GEMMs here destroy PCG convergence
+        z = jnp.matmul(self.U.T, y, precision="highest")
+        return y / self.eta + jnp.matmul(
+            self.U, (self.s - 1.0 / self.eta) * z, precision="highest"
+        )
 
     def solve(self, r):
         y = r[self.perm]
@@ -69,12 +74,13 @@ class NystromPrecond:
 
     def _dM_apply(self, j, x):
         """dM_j @ x in permuted order, x (n,) or (n, m); j in {0, 1}."""
-        K1tx = self.K1.T @ x
+        hm = lambda a, b: jnp.matmul(a, b, precision="highest")
+        K1tx = hm(self.K1.T, x)
         w = chol_solve(self.L11, K1tx)          # K11^{-1} K1' x
-        dK1tx = self.dK1[j].T @ x
+        dK1tx = hm(self.dK1[j].T, x)
         wd = chol_solve(self.L11, dK1tx)        # K11^{-1} dK1' x
-        inner = chol_solve(self.L11, self.dK11[j] @ w)
-        return self.dK1[j] @ w + self.K1 @ wd - self.K1 @ inner
+        inner = chol_solve(self.L11, hm(self.dK11[j], w))
+        return hm(self.dK1[j], w) + hm(self.K1, wd) - hm(self.K1, inner)
 
     def dvp(self, z):
         """(3, n) stacked M^{-1} dM_j z — ref nys.c:175-331."""
@@ -123,6 +129,17 @@ def nystrom_setup(
     """
     from ..ops.kernels import additive_kernel_matrix, additive_kernel_matrix_with_grad
 
+    # setup runs entirely at highest matmul precision: the factors feed
+    # 1/eta-amplified solves where bf16-precision products are fatal
+    with jax.default_matmul_precision("highest"):
+        return _nystrom_setup_impl(
+            kind, params, X, perm, k, require_grad, windows,
+            additive_kernel_matrix, additive_kernel_matrix_with_grad,
+        )
+
+
+def _nystrom_setup_impl(kind, params, X, perm, k, require_grad, windows,
+                        additive_kernel_matrix, additive_kernel_matrix_with_grad):
     n = X.shape[0]
     Xp = X[perm]
     Xk = Xp[:k]
