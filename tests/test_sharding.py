@@ -91,3 +91,21 @@ def test_fastsum_on_sharded_points(mesh, problem):
     y = jax.jit(fastsum_matvec)(plan_s, b_s)
     y_ref = fastsum_matvec(plan, b)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-9)
+
+
+def test_sharded_train_step(mesh):
+    """Full sharded training step: loss finite and decreasing over 3 steps."""
+    from nfft4gp_tpu.ops.kernels import make_windows
+    from nfft4gp_tpu.parallel.training import train_sharded
+
+    rng = np.random.default_rng(77)
+    n = 8 * 24
+    X = jnp.asarray(rng.uniform(size=(n, 4)))
+    y = jnp.asarray(np.sin(5 * np.asarray(X[:, 0])) + 0.1 * rng.normal(size=n))
+    windows = make_windows([[0], [1, 2], [3]])
+    state, losses = train_sharded(
+        X, y, windows=windows, n_devices=8, adam_maxits=3,
+        nys_rank=16, slq_its=4, nvecs=4, fastsum_N=16, adam_alpha=0.05,
+    )
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
