@@ -45,14 +45,28 @@ from .kernels import KernelParams, _BASE_KERNELS
 
 @pytree_dataclass(static_fields=("N", "d"))
 class FastsumGeometry:
-    """Per-dataset NDFT geometry: scaled points + real phase tables."""
+    """Per-dataset NDFT geometry: scaled points + real phase tables.
+
+    The cos/sin tables are stored CONCATENATED along the mode axis
+    (Ecs[..., :N] = cos, Ecs[..., N:] = sin): the adjoint then needs ONE
+    (2N, n) x (n, 2N) contraction whose four blocks are exactly the four
+    re/im products — zero wasted flops, one pass over the tables instead of
+    four separate GEMMs.
+    """
 
     N: int
     d: int
     x: jnp.ndarray          # (n, d) centered+scaled points, radius <= 1/4
     scale: jnp.ndarray      # scalar coordinate scale
-    Ec: jnp.ndarray         # (d, n, N) cos(-2 pi k x)
-    Es: jnp.ndarray         # (d, n, N) sin(-2 pi k x)
+    Ecs: jnp.ndarray        # (d, n, 2N): [cos(-2 pi k x) | sin(-2 pi k x)]
+
+    @property
+    def Ec(self):
+        return self.Ecs[:, :, : self.N]
+
+    @property
+    def Es(self):
+        return self.Ecs[:, :, self.N :]
 
 
 def fastsum_geometry(X, N: int = 32) -> FastsumGeometry:
@@ -70,9 +84,9 @@ def fastsum_geometry(X, N: int = 32) -> FastsumGeometry:
 
     k = jnp.arange(-(N // 2), N - N // 2, dtype=X.dtype)  # [-N/2, N/2)
     phase = -2.0 * jnp.pi * x[:, :, None] * k[None, None, :]   # (n, d, N)
-    Ec = jnp.moveaxis(jnp.cos(phase), 1, 0)                    # (d, n, N)
-    Es = jnp.moveaxis(jnp.sin(phase), 1, 0)
-    return FastsumGeometry(N=N, d=d, x=x, scale=scale, Ec=Ec, Es=Es)
+    Ecs = jnp.concatenate([jnp.cos(phase), jnp.sin(phase)], axis=2)
+    Ecs = jnp.moveaxis(Ecs, 1, 0)                              # (d, n, 2N)
+    return FastsumGeometry(N=N, d=d, x=x, scale=scale, Ecs=Ecs)
 
 
 @pytree_dataclass(static_fields=("N", "d", "kind"))
@@ -142,54 +156,83 @@ def _hmat(a, b):
     return jnp.matmul(a, b, precision="highest")
 
 
-def _ndft_adjoint(Ec, Es, alpha):
-    """(re, im) of \\hat e_k = sum_i alpha_i prod_d E[d, i, k_d]."""
-    d = Ec.shape[0]
+def _ndft_adjoint(Ecs, alpha):
+    """(re, im) of \\hat e_k = sum_i alpha_i prod_d E[d, i, k_d].
+
+    Ecs: (d, n, 2N) concatenated cos|sin tables.  For d>=2 the four re/im
+    cross products come out of ONE (2N x n)(n x 2N) contraction.
+    """
+    d = Ecs.shape[0]
+    N = Ecs.shape[2] // 2
     if d == 1:
-        return (jnp.matmul(Ec[0].T, alpha, precision='highest'),
-                jnp.matmul(Es[0].T, alpha, precision='highest'))
+        v = _hmat(Ecs[0].T, alpha)
+        return v[:N], v[N:]
     if d == 2:
-        a = alpha[:, None]
-        A_re = Ec[0] * a
-        A_im = Es[0] * a
-        re = _hmat(A_re.T, Ec[1]) - _hmat(A_im.T, Es[1])
-        im = _hmat(A_re.T, Es[1]) + _hmat(A_im.T, Ec[1])
+        Acat = Ecs[0] * alpha[:, None]
+        M = _hmat(Acat.T, Ecs[1])          # (2N, 2N) all four blocks
+        re = M[:N, :N] - M[N:, N:]
+        im = M[:N, N:] + M[N:, :N]
         return re, im
     if d == 3:
-        # loop over the last dim's modes: N batched GEMM pairs
+        # loop over the last dim's modes
         def one_mode(c3, s3):
             wr = alpha * c3
             wi = alpha * s3
-            A_re = Ec[0] * wr[:, None] - Es[0] * wi[:, None]
-            A_im = Ec[0] * wi[:, None] + Es[0] * wr[:, None]
-            re = _hmat(A_re.T, Ec[1]) - _hmat(A_im.T, Es[1])
-            im = _hmat(A_re.T, Es[1]) + _hmat(A_im.T, Ec[1])
+            Acat = jnp.concatenate(
+                [
+                    Ecs[0, :, :N] * wr[:, None] - Ecs[0, :, N:] * wi[:, None],
+                    Ecs[0, :, :N] * wi[:, None] + Ecs[0, :, N:] * wr[:, None],
+                ],
+                axis=1,
+            )
+            M = _hmat(Acat.T, Ecs[1])
+            re = M[:N, :N] - M[N:, N:]
+            im = M[:N, N:] + M[N:, :N]
             return re, im
 
-        res, ims = jax.vmap(one_mode, in_axes=(1, 1), out_axes=2)(Ec[2], Es[2])
+        res, ims = jax.vmap(one_mode, in_axes=(1, 1), out_axes=2)(
+            Ecs[2, :, :N], Ecs[2, :, N:]
+        )
         return res, ims
     raise NotImplementedError(f"fastsum supports window dims 1..3, got {d}")
 
 
-def _ndft_forward_real(Ec, Es, Cre, Cim):
-    """f_i = Re[ sum_k C_k prod_d conj(E[d, i, k_d]) ] with conj(E) = Ec - i Es."""
-    d = Ec.shape[0]
+def _ndft_forward_real(Ecs, Cre, Cim):
+    """f_i = Re[ sum_k C_k prod_d conj(E[d, i, k_d]) ] with conj(E) = Ec - i Es.
+
+    One (n, 2N)(2N, 2N) GEMM produces [T_re | T_im]; the final reduction is
+    a fused elementwise-multiply + rowsum against the second table.
+    """
+    d = Ecs.shape[0]
+    N = Ecs.shape[2] // 2
     if d == 1:
-        return _hmat(Ec[0], Cre) + _hmat(Es[0], Cim)
+        return _hmat(Ecs[0], jnp.concatenate([Cre, Cim]))
     if d == 2:
-        T_re = _hmat(Ec[0], Cre) + _hmat(Es[0], Cim)
-        T_im = _hmat(Ec[0], Cim) - _hmat(Es[0], Cre)
-        return jnp.sum(T_re * Ec[1] + T_im * Es[1], axis=1)
+        RHS = jnp.concatenate(
+            [
+                jnp.concatenate([Cre, Cim], axis=1),
+                jnp.concatenate([Cim, -Cre], axis=1),
+            ],
+            axis=0,
+        )                                   # (2N, 2N)
+        T = _hmat(Ecs[0], RHS)              # (n, 2N) = [T_re | T_im]
+        return jnp.sum(T * Ecs[1], axis=1)
     if d == 3:
         def one_mode(C2re, C2im, c3, s3):
-            T_re = _hmat(Ec[0], C2re) + _hmat(Es[0], C2im)
-            T_im = _hmat(Ec[0], C2im) - _hmat(Es[0], C2re)
-            U_re = jnp.sum(T_re * Ec[1] + T_im * Es[1], axis=1)
-            U_im = jnp.sum(T_im * Ec[1] - T_re * Es[1], axis=1)
+            RHS = jnp.concatenate(
+                [
+                    jnp.concatenate([C2re, C2im], axis=1),
+                    jnp.concatenate([C2im, -C2re], axis=1),
+                ],
+                axis=0,
+            )
+            T = _hmat(Ecs[0], RHS)
+            U_re = jnp.sum(T[:, :N] * Ecs[1, :, :N] + T[:, N:] * Ecs[1, :, N:], axis=1)
+            U_im = jnp.sum(T[:, N:] * Ecs[1, :, :N] - T[:, :N] * Ecs[1, :, N:], axis=1)
             return U_re * c3 + U_im * s3
 
         parts = jax.vmap(one_mode, in_axes=(2, 2, 1, 1), out_axes=0)(
-            Cre, Cim, Ec[2], Es[2]
+            Cre, Cim, Ecs[2, :, :N], Ecs[2, :, N:]
         )
         return jnp.sum(parts, axis=0)
     raise NotImplementedError
@@ -198,8 +241,8 @@ def _ndft_forward_real(Ec, Es, Cre, Cim):
 def fastsum_base_apply(plan: FastsumPlan, coeffs, x):
     """Re[ NDFT2( coeffs * NDFT1(x) ) ] — the pure kernel-sum (no f^2/mu)."""
     g = plan.geom
-    e_re, e_im = _ndft_adjoint(g.Ec, g.Es, x)
-    return _ndft_forward_real(g.Ec, g.Es, coeffs * e_re, coeffs * e_im)
+    e_re, e_im = _ndft_adjoint(g.Ecs, x)
+    return _ndft_forward_real(g.Ecs, coeffs * e_re, coeffs * e_im)
 
 
 def fastsum_matvec(plan: FastsumPlan, x):
@@ -214,9 +257,9 @@ def fastsum_grad_matvec(plan: FastsumPlan, x):
     p = plan.params
     g = plan.geom
     f2 = p.f * p.f
-    e_re, e_im = _ndft_adjoint(g.Ec, g.Es, x)
-    k_part = _ndft_forward_real(g.Ec, g.Es, plan.b * e_re, plan.b * e_im)
-    dl_part = _ndft_forward_real(g.Ec, g.Es, plan.db_l * e_re, plan.db_l * e_im)
+    e_re, e_im = _ndft_adjoint(g.Ecs, x)
+    k_part = _ndft_forward_real(g.Ecs, plan.b * e_re, plan.b * e_im)
+    dl_part = _ndft_forward_real(g.Ecs, plan.db_l * e_re, plan.db_l * e_im)
     y_f = 2.0 * p.f * (k_part + p.mu * x)
     y_l = f2 * dl_part
     y_mu = f2 * x
@@ -328,9 +371,9 @@ def additive_fastsum_grad_matvec(plan: AdditiveFastsumPlan, x):
     for dw, order, plans in plan.groups:
         def one(pl):
             g = pl.geom
-            e_re, e_im = _ndft_adjoint(g.Ec, g.Es, x)
-            kp = _ndft_forward_real(g.Ec, g.Es, pl.b * e_re, pl.b * e_im)
-            lp = _ndft_forward_real(g.Ec, g.Es, pl.db_l * e_re, pl.db_l * e_im)
+            e_re, e_im = _ndft_adjoint(g.Ecs, x)
+            kp = _ndft_forward_real(g.Ecs, pl.b * e_re, pl.b * e_im)
+            lp = _ndft_forward_real(g.Ecs, pl.db_l * e_re, pl.db_l * e_im)
             return kp, lp
 
         kps, lps = jax.vmap(one)(plans)

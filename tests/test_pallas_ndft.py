@@ -43,7 +43,7 @@ def test_adjoint_matches_table_path(d):
     X = jnp.asarray(rng.uniform(size=(n, d)) - 0.5, jnp.float32) * 0.5
     alpha = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
     geom = fastsum_geometry(X, N)
-    re_ref, im_ref = _ndft_adjoint(geom.Ec, geom.Es, alpha)
+    re_ref, im_ref = _ndft_adjoint(geom.Ecs, alpha)
     if d == 1:
         re, im = ndft_adjoint1(geom.x, alpha, N, block=64, interpret=True)
     else:

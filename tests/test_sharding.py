@@ -82,8 +82,7 @@ def test_fastsum_on_sharded_points(mesh, problem):
     sh_E = NamedSharding(mesh, P(None, "points", None))
     geom_s = dataclasses.replace(
         plan.geom,
-        Ec=jax.device_put(plan.geom.Ec, sh_E),
-        Es=jax.device_put(plan.geom.Es, sh_E),
+        Ecs=jax.device_put(plan.geom.Ecs, sh_E),
         x=shard_points(mesh, plan.geom.x),
     )
     plan_s = dataclasses.replace(plan, geom=geom_s)
