@@ -196,7 +196,8 @@ def gp_predict(
     psolve = precond.solve if precond is not None else None
     matvec = lambda v: K11 @ v
 
-    its = maxits if maxits is not None else n
+    # cap the default basis size: kdim = n would allocate an (n+1, n) basis
+    its = maxits if maxits is not None else min(n, 200)
     sol = fgmres(matvec, y, precond=psolve, kdim=min(n, its), maxits=min(n, its),
                  tol=cfg.tol, atol=cfg.atol)
     mean = K12.T @ sol.x
