@@ -92,7 +92,8 @@ def main():
         except Exception as e:
             import sys
 
-            print(f"bench config n={n} failed: {type(e).__name__}", file=sys.stderr)
+            print(f"bench config n={n} failed: {type(e).__name__}: {str(e)[:300]}",
+                  file=sys.stderr)
     else:
         pts_per_s = 0.0
     print(
