@@ -70,12 +70,13 @@ def _run(n, d, iters):
 
         return jax.lax.fori_loop(0, iters, body, v)
 
-    # warm-up / compile
-    y = jax.block_until_ready(run(plan, x))
-    assert bool(jnp.isfinite(y).all())
+    # warm-up / compile; np.asarray forces a full device round-trip (the
+    # remote backend's block_until_ready alone under-syncs)
+    y = np.asarray(run(plan, x))
+    assert bool(np.isfinite(y).all())
 
     t0 = time.perf_counter()
-    y = jax.block_until_ready(run(plan, x))
+    y = np.asarray(run(plan, x))
     t1 = time.perf_counter()
 
     per_matvec = (t1 - t0) / iters
@@ -85,7 +86,9 @@ def _run(n, d, iters):
 def main():
     baseline_pts_per_s = 1.0e6  # nominal reference CPU NFFT rate (no published numbers)
     # fall back to smaller problems if the backend rejects the big one
-    for n, d, iters in ((200_000, 10, 50), (50_000, 10, 50), (8_192, 4, 20)):
+    # iters high enough to amortize the ~40 ms per-dispatch overhead of the
+    # remote TPU tunnel (measured: 50 its -> +0.8 ms/matvec of pure overhead)
+    for n, d, iters in ((200_000, 10, 500), (50_000, 10, 500), (8_192, 4, 100)):
         try:
             pts_per_s = _run(n, d, iters)
             break

@@ -16,7 +16,7 @@ from nfft4gp_tpu.ops.pallas_ndft import (
     ndft_adjoint2,
     fused_window_apply,
 )
-from nfft4gp_tpu.ops.fastsum import _ndft_adjoint
+from nfft4gp_tpu.ops.fastsum import _ndft_adjoint, _full_tables
 
 
 @pytest.mark.parametrize("d", [1, 2])
@@ -43,7 +43,7 @@ def test_adjoint_matches_table_path(d):
     X = jnp.asarray(rng.uniform(size=(n, d)) - 0.5, jnp.float32) * 0.5
     alpha = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
     geom = fastsum_geometry(X, N)
-    re_ref, im_ref = _ndft_adjoint(geom.Ecs, alpha)
+    re_ref, im_ref = _ndft_adjoint(_full_tables(geom.x, N), alpha)
     if d == 1:
         re, im = ndft_adjoint1(geom.x, alpha, N, block=64, interpret=True)
     else:

@@ -82,7 +82,7 @@ def test_fastsum_on_sharded_points(mesh, problem):
     sh_E = NamedSharding(mesh, P(None, "points", None))
     geom_s = dataclasses.replace(
         plan.geom,
-        Ecs=jax.device_put(plan.geom.Ecs, sh_E),
+        Tcs=jax.device_put(plan.geom.Tcs, sh_E),
         x=shard_points(mesh, plan.geom.x),
     )
     plan_s = dataclasses.replace(plan, geom=geom_s)
