@@ -39,6 +39,10 @@ def build_argparser():
     ap.add_argument("--rank", type=int, default=50)
     ap.add_argument("--lfil", type=int, default=20)
     ap.add_argument("--fastsum-N", type=int, default=32)
+    ap.add_argument("--fastsum-table-dtype", default=None,
+                    choices=["bfloat16"],
+                    help="narrow NDFT phase tables during training "
+                         "(~1.8x matvec rate, ~1e-2 operator accuracy)")
     ap.add_argument("--out-prefix", default=None)
     ap.add_argument("--x64", action="store_true", help="double precision (CPU parity)")
     ap.add_argument("--platform", default=None, help="force jax platform (cpu)")
@@ -96,6 +100,7 @@ def main(argv=None):
         maxits=args.learn_maxits,
         nvecs=args.learn_nvecs,
         fastsum_N=args.fastsum_N,
+        fastsum_table_dtype=args.fastsum_table_dtype,
     )
 
     print(f"n_train={Xtr.shape[0]} n_test={Xte.shape[0]} d={Xtr.shape[1]} "

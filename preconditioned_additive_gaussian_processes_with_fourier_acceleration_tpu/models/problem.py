@@ -49,6 +49,8 @@ class GPProblem:
     nvecs: int = 10              # SLQ probes
     tol: float = 1e-6
     fastsum_N: int = 32
+    fastsum_table_dtype: Optional[str] = None  # 'bfloat16' = training speed
+    # mode (~1e-2 operator accuracy, ~1.8x matvec rate); predict stays f32
     seed: int = 0
     mask: tuple = (1, 1, 1)      # which of (f, l, mu) receive gradients
 
@@ -73,9 +75,12 @@ class GPProblem:
             return make_dense_ops(self.kernel, X, windows=warr)
         if self.operator != "fastsum":
             raise ValueError(f"unknown operator {self.operator}")
+        tdt = jnp.dtype(self.fastsum_table_dtype) if self.fastsum_table_dtype else None
         if warr is not None:
             geom = jax.jit(
-                lambda Xv: fs.additive_fastsum_geometry(Xv, warr, N=self.fastsum_N)
+                lambda Xv: fs.additive_fastsum_geometry(
+                    Xv, warr, N=self.fastsum_N, table_dtype=tdt
+                )
             )(X)
 
             def build(params):
@@ -86,7 +91,9 @@ class GPProblem:
                 )
 
             return build
-        geom = jax.jit(lambda Xv: fs.fastsum_geometry(Xv, self.fastsum_N))(X)
+        geom = jax.jit(
+            lambda Xv: fs.fastsum_geometry(Xv, self.fastsum_N, table_dtype=tdt)
+        )(X)
 
         def build(params):
             plan = fs.fastsum_coeffs(self.kernel, params, geom)

@@ -72,10 +72,16 @@ def _nmodes(N: int) -> int:
     return N // 2 + 1
 
 
-def fastsum_geometry(X, N: int = 32) -> FastsumGeometry:
+def fastsum_geometry(X, N: int = 32, *, table_dtype=None) -> FastsumGeometry:
     """Center/scale points and precompute folded phase tables.
 
     Ref: nfft_interface.c:150-213 (mean-centering, radius in [1/8, 1/4]).
+
+    table_dtype: store the phase tables in a narrower dtype (jnp.bfloat16)
+    for ~1.8x matvec throughput on TPU (halved HBM traffic + 4x MXU rate);
+    accumulation stays float32.  Costs ~3 digits of matvec accuracy (bf16
+    has an 8-bit mantissa) — use for preconditioned-solver speed modes, not
+    for accuracy-parity paths.
     """
     n, d = X.shape
     if d > 3:
@@ -95,6 +101,8 @@ def fastsum_geometry(X, N: int = 32) -> FastsumGeometry:
     phase = 2.0 * jnp.pi * x[:, :, None] * p[None, None, :]    # (n, d, P)
     Tcs = jnp.concatenate([jnp.cos(phase), jnp.sin(phase)], axis=2)
     Tcs = jnp.moveaxis(Tcs, 1, 0)                              # (d, n, 2P)
+    if table_dtype is not None:
+        Tcs = Tcs.astype(table_dtype)
     return FastsumGeometry(N=N, d=d, x=x, scale=scale, Tcs=Tcs)
 
 
@@ -223,8 +231,11 @@ def fastsum_coeffs(kind: str, params: KernelParams, geom: FastsumGeometry,
 
 
 def fastsum_build(kind: str, params: KernelParams, X, N: int = 32,
-                  *, psd_clip: bool = False) -> FastsumPlan:
-    return fastsum_coeffs(kind, params, fastsum_geometry(X, N), psd_clip=psd_clip)
+                  *, psd_clip: bool = False, table_dtype=None) -> FastsumPlan:
+    return fastsum_coeffs(
+        kind, params, fastsum_geometry(X, N, table_dtype=table_dtype),
+        psd_clip=psd_clip,
+    )
 
 
 # --- exact separable NDFTs (real-pair arithmetic) --------------------------
@@ -318,24 +329,35 @@ def _ndft_forward_real(Ecs, Cre, Cim):
 
 # --- folded apply (the default fast path) ----------------------------------
 
+def _tmat(A, B, out_dtype):
+    """Phase-table GEMM: full-precision f32, or table-dtype (bf16) operands
+    with out_dtype (f32) MXU accumulation when the tables are narrow."""
+    if A.dtype == out_dtype and B.dtype == out_dtype:
+        return jnp.matmul(A, B, precision="highest")
+    return jnp.matmul(A, B.astype(A.dtype), preferred_element_type=out_dtype)
+
+
 def _folded_adjoint(Tcs, alpha):
     """Block tensor A_t[p] = sum_i alpha_i prod_d t_d(2 pi p_d x_id).
 
-    Tcs: (d, n, 2P) folded tables.  Output shape (2P,)*d; block t (a
-    {cos,sin}^d choice) lives at slice [t_1*P:(t_1+1)*P, ...]."""
+    Tcs: (d, n, 2P) folded tables (x-dtype, or narrow e.g. bf16).  Output
+    shape (2P,)*d in alpha's dtype; block t (a {cos,sin}^d choice) lives at
+    slice [t_1*P:(t_1+1)*P, ...]."""
     d = Tcs.shape[0]
     P = Tcs.shape[2] // 2
+    out_dtype = alpha.dtype
+    a = alpha.astype(Tcs.dtype)
     if d == 1:
-        return _hmat(Tcs[0].T, alpha)
+        return _tmat(Tcs[0].T, a, out_dtype)
     if d == 2:
-        return _hmat((Tcs[0] * alpha[:, None]).T, Tcs[1])
+        return _tmat((Tcs[0] * a[:, None]).T, Tcs[1], out_dtype)
     if d == 3:
         def one_mode(c3, s3):
             Acat = jnp.concatenate(
-                [Tcs[0] * (alpha * c3)[:, None], Tcs[0] * (alpha * s3)[:, None]],
+                [Tcs[0] * (a * c3)[:, None], Tcs[0] * (a * s3)[:, None]],
                 axis=1,
             )                                    # (n, 4P)
-            return _hmat(Acat.T, Tcs[1])         # (4P, 2P)
+            return _tmat(Acat.T, Tcs[1], out_dtype)   # (4P, 2P)
 
         M3 = jax.vmap(one_mode, in_axes=(1, 1), out_axes=0)(
             Tcs[2, :, :P], Tcs[2, :, P:]
@@ -381,16 +403,19 @@ def _folded_forward(Tcs, B):
     """y_i = sum_t prod_d t_d(2 pi p_d x_id) B_t[p] from the block tensor."""
     d = Tcs.shape[0]
     P = Tcs.shape[2] // 2
+    out_dtype = B.dtype
     if d == 1:
-        return _hmat(Tcs[0], B)
+        return _tmat(Tcs[0], B, out_dtype)
     if d == 2:
-        return jnp.sum(_hmat(Tcs[0], B) * Tcs[1], axis=1)
+        T = _tmat(Tcs[0], B, out_dtype)
+        return jnp.sum(T * Tcs[1].astype(out_dtype), axis=1)
     if d == 3:
         def one_mode(Bc, Bs, c3, s3):
-            Tt = _hmat(Tcs[0], jnp.concatenate([Bc, Bs], axis=1))   # (n, 4P)
-            yc = jnp.sum(Tt[:, : 2 * P] * Tcs[1], axis=1)
-            ys = jnp.sum(Tt[:, 2 * P :] * Tcs[1], axis=1)
-            return yc * c3 + ys * s3
+            Tt = _tmat(Tcs[0], jnp.concatenate([Bc, Bs], axis=1), out_dtype)
+            T1f = Tcs[1].astype(out_dtype)                          # (n, 2P)
+            yc = jnp.sum(Tt[:, : 2 * P] * T1f, axis=1)
+            ys = jnp.sum(Tt[:, 2 * P :] * T1f, axis=1)
+            return yc * c3.astype(out_dtype) + ys * s3.astype(out_dtype)
 
         parts = jax.vmap(one_mode, in_axes=(2, 2, 1, 1), out_axes=0)(
             B[:, :, :P], B[:, :, P:], Tcs[2, :, :P], Tcs[2, :, P:]
@@ -449,7 +474,8 @@ class AdditiveFastsumGeometry(NamedTuple):
     groups: tuple
 
 
-def additive_fastsum_geometry(X, windows, N: int = 32) -> AdditiveFastsumGeometry:
+def additive_fastsum_geometry(X, windows, N: int = 32,
+                              *, table_dtype=None) -> AdditiveFastsumGeometry:
     """One NDFT geometry per feature window (ref nfft_interface.c:622-674).
 
     windows: (W, dw_max) padded index array (-1 = padding).  Windows are
@@ -464,7 +490,10 @@ def additive_fastsum_geometry(X, windows, N: int = 32) -> AdditiveFastsumGeometr
 
     groups = []
     for dw, members in sorted(by_dim.items()):
-        geos = [fastsum_geometry(X[:, list(feats)], N) for _, feats in members]
+        geos = [
+            fastsum_geometry(X[:, list(feats)], N, table_dtype=table_dtype)
+            for _, feats in members
+        ]
         batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *geos)
         order = tuple(w for w, _ in members)
         groups.append((dw, order, batched))
@@ -489,9 +518,11 @@ def additive_fastsum_coeffs(
 
 
 def additive_fastsum_build(kind, params, X, windows, N: int = 32,
-                           *, psd_clip: bool = False):
+                           *, psd_clip: bool = False, table_dtype=None):
     return additive_fastsum_coeffs(
-        kind, params, additive_fastsum_geometry(X, windows, N), psd_clip=psd_clip
+        kind, params,
+        additive_fastsum_geometry(X, windows, N, table_dtype=table_dtype),
+        psd_clip=psd_clip,
     )
 
 

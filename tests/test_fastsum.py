@@ -125,3 +125,39 @@ def test_fastsum_matvec_jits_and_symmetric():
     np.testing.assert_allclose(
         float(jnp.vdot(a, mv(b))), float(jnp.vdot(b, mv(a))), rtol=1e-10
     )
+
+
+@pytest.mark.parametrize("d", [1, 2, 3])
+def test_fastsum_bf16_tables_speed_mode(d):
+    """bf16 phase tables (speed mode): same operator to ~bf16 accuracy,
+    f32 output dtype, tables actually stored narrow."""
+    rng = np.random.default_rng(11)
+    n = 250
+    X = jnp.asarray(rng.uniform(size=(n, d)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
+    p = KernelParams.make(1.0, 0.5, 0.05, dtype=jnp.float32)
+    ref = fastsum_matvec(fastsum_build("gaussian", p, X, N=16), x)
+    plan_b = fastsum_build("gaussian", p, X, N=16, table_dtype=jnp.bfloat16)
+    assert plan_b.geom.Tcs.dtype == jnp.bfloat16
+    out = fastsum_matvec(plan_b, x)
+    assert out.dtype == jnp.float32
+    assert rel_err(out, ref) < 2e-2
+
+
+def test_additive_fastsum_bf16_tables():
+    rng = np.random.default_rng(12)
+    n, dfull = 200, 5
+    X = jnp.asarray(rng.uniform(size=(n, dfull)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
+    p = KernelParams.make(1.0, 0.5, 0.05, dtype=jnp.float32)
+    windows = make_windows([[0, 1], [2], [3, 4]])
+    ref = additive_fastsum_matvec(
+        additive_fastsum_build("gaussian", p, X, windows, N=16), x
+    )
+    out = additive_fastsum_matvec(
+        additive_fastsum_build(
+            "gaussian", p, X, windows, N=16, table_dtype=jnp.bfloat16
+        ),
+        x,
+    )
+    assert rel_err(out, ref) < 2e-2
