@@ -67,12 +67,19 @@ def eigencurve_rank(kind: str, params: KernelParams, X, key,
 
     n = X.shape[0]
     m = min(nsample, n)
-    idx = jax.random.choice(key, n, (m,), replace=False)
-    Xs = X[idx]
-    K = kernel_matrix(kind, params, Xs)
-    eigs = jnp.linalg.eigvalsh(K)
-    noise = params.f * params.f * params.mu
-    count = int(jnp.sum(eigs > thresh_factor * noise))
+
+    # one jit per (shape, kind): eager ops are per-op compile round-trips on
+    # the remote-compile TPU backend; X as an ARG (closures inline as MLIR
+    # constants there)
+    @jax.jit
+    def count_fn(Xv, pv, kv):
+        idx = jax.random.choice(kv, n, (m,), replace=False)
+        K = kernel_matrix(kind, pv, Xv[idx])
+        eigs = jnp.linalg.eigvalsh(K)
+        noise = pv.f * pv.f * pv.mu
+        return jnp.sum(eigs > thresh_factor * noise)
+
+    count = int(count_fn(X, params, key))
     return max(1, int(np.ceil(count * n / m)))
 
 
@@ -94,15 +101,21 @@ def estimate_rank(
     scale = (m / n) ** (1.0 / d)
 
     ranks = jnp.arange(1, m + 1)
+
+    # One jitted graph per (shape, kind), reused across the nsample_r
+    # repeats: the subsample + FPS + error-curve pipeline as eager ops is
+    # dozens of per-op compile round-trips on the remote-compile backend.
+    @jax.jit
+    def curve_fn(Xv, pv, kv):
+        idx = jax.random.choice(kv, n, (m,), replace=False)
+        Xs = Xv[idx] * scale
+        order = fps(Xs, m).perm
+        return nystrom_error_curve(kind, pv, Xs[order], ranks)
+
     ests = []
     for r in range(cfg.nsample_r):
         key, sub = jax.random.split(key)
-        idx = jax.random.choice(sub, n, (m,), replace=False)
-        Xs = X[idx] * scale
-        order = fps(Xs, m).perm
-        Xs = Xs[order]
-        errs = nystrom_error_curve(kind, params, Xs, ranks)
-        below = np.asarray(errs < cfg.tol)
+        below = np.asarray(curve_fn(X, params, sub) < cfg.tol)
         k = int(np.argmax(below)) + 1 if below.any() else m
         ests.append(k * n / m)
     k_est = int(np.ceil(float(np.mean(ests))))

@@ -202,13 +202,18 @@ def afn_plan(
     use_ran = (k < maxrank) and not force_afn
     k = max(k, 1)
 
-    perm_k = fps(X, k).perm
-    perm = np.asarray(expand_perm(perm_k, n))
+    # single jits with X as an argument: eager ops here are per-op compile
+    # round-trips on the remote-compile TPU backend, and closure-captured
+    # arrays would inline as MLIR constants
+    perm = np.asarray(
+        jax.jit(lambda Xv: expand_perm(fps(Xv, k).perm, n))(X)
+    )
     if use_ran:
         pattern = (np.zeros((0, lfil), np.int32), np.zeros((0, lfil), bool))
     else:
-        X2 = X[perm[k:]]
-        idx, mask = knn_pattern(X2, lfil)
+        idx, mask = jax.jit(
+            lambda Xv, pv: knn_pattern(Xv[pv[k:]], lfil)
+        )(X, jnp.asarray(perm))
         pattern = (np.asarray(idx), np.asarray(mask))
     return AfnPlan(perm=perm, k=k, use_ran=use_ran, pattern=pattern)
 
