@@ -51,6 +51,10 @@ class GPProblem:
     fastsum_N: int = 32
     fastsum_table_dtype: Optional[str] = None  # 'bfloat16' = training speed
     # mode (~1e-2 operator accuracy, ~1.8x matvec rate); predict stays f32
+    fastsum_oversample: int = 2        # coefficient-grid oversampling (NN=2N)
+    fastsum_nearfield_lfil: int = 0    # sparse near-field correction (eps_I)
+    fastsum_fused: bool = False        # packed Pallas fused-phase matvecs
+    # (TPU only; phases regenerated in VMEM instead of HBM tables)
     seed: int = 0
     mask: tuple = (1, 1, 1)      # which of (f, l, mu) receive gradients
 
@@ -84,7 +88,16 @@ class GPProblem:
             )(X)
 
             def build(params):
-                plan = fs.additive_fastsum_coeffs(self.kernel, params, geom)
+                plan = fs.additive_fastsum_coeffs(
+                    self.kernel, params, geom,
+                    oversample=self.fastsum_oversample,
+                    nearfield_lfil=self.fastsum_nearfield_lfil,
+                )
+                if self.fastsum_fused:
+                    return (
+                        lambda v: fs.additive_fastsum_matvec_fused(plan, v),
+                        lambda v: fs.additive_fastsum_grad_matvec_fused(plan, v),
+                    )
                 return (
                     lambda v: fs.additive_fastsum_matvec(plan, v),
                     lambda v: fs.additive_fastsum_grad_matvec(plan, v),
@@ -96,7 +109,11 @@ class GPProblem:
         )(X)
 
         def build(params):
-            plan = fs.fastsum_coeffs(self.kernel, params, geom)
+            plan = fs.fastsum_coeffs(
+                self.kernel, params, geom,
+                oversample=self.fastsum_oversample,
+                nearfield_lfil=self.fastsum_nearfield_lfil,
+            )
             return (
                 lambda v: fs.fastsum_matvec(plan, v),
                 lambda v: fs.fastsum_grad_matvec(plan, v),
@@ -232,7 +249,9 @@ class GPProblem:
             k: getattr(self, k)
             for k in (
                 "kernel", "operator", "precond", "transform", "rank", "lfil",
-                "maxits", "nvecs", "tol", "fastsum_N", "seed",
+                "maxits", "nvecs", "tol", "fastsum_N", "fastsum_table_dtype",
+                "fastsum_oversample", "fastsum_nearfield_lfil", "fastsum_fused",
+                "seed",
             )
         }
         np.savez(

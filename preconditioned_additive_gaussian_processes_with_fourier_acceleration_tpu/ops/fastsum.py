@@ -35,7 +35,7 @@ averaged and the noise term added once.
 
 import functools
 import itertools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -124,6 +124,15 @@ class FastsumPlan:
     the full shifted-order coefficient tensors (kept for the Pallas path and
     external consumers); `w`/`dw_l` are their parity-folded forms used by the
     folded-table apply (see _fold_maps).
+
+    nf_idx/nf_val/nf_dval: optional sparse NEAR-FIELD correction — the role
+    of fastsum's eps_I interior regularization + nearfield sum (NFFT3
+    fastsum.c; the reference interface runs with eps=0,
+    nfft_interface.c:18-27, accepting O(1/N) error at kernel kinks).  Row i
+    holds the lfil nearest preceding neighbors (+ self in the last slot) with
+    values phi_exact - phi_fourier at the pair offsets, applied symmetrically
+    in the matvec.  Cuts Matérn-1/2 matvec error ~6x at N=32 (the error is
+    concentrated at small pair distances; see fastsum_coeffs docstring).
     """
 
     N: int
@@ -135,6 +144,9 @@ class FastsumPlan:
     w: jnp.ndarray          # (nS,) + (P,)*d folded weights of b
     dw_l: jnp.ndarray       # (nS,) + (P,)*d folded weights of db_l
     params: KernelParams
+    nf_idx: Optional[jnp.ndarray] = None    # (n, lfil) int32, self in last slot
+    nf_val: Optional[jnp.ndarray] = None    # (n, lfil) phi_exact - phi_fourier
+    nf_dval: Optional[jnp.ndarray] = None   # (n, lfil) same for d/dl
 
 
 # --- parity folding ---------------------------------------------------------
@@ -195,9 +207,99 @@ def _torus_grid_r2(N: int, d: int, dtype):
     return sum(gi * gi for gi in grids)
 
 
+def _central_modes(bs, N: int, d: int):
+    """Central N modes per dim of an fftshifted oversampled tensor."""
+    Nos = bs.shape[0]
+    lo = Nos // 2 - N // 2
+    sl = (slice(lo, lo + N),) * d
+    return bs[sl]
+
+
+def trigpoly_eval(b, D):
+    """Re sum_k b_k e^{2 pi i k.D} at arbitrary offsets D (m, d).
+
+    b: (N,)*d real coefficients in shifted mode order.  Used by the
+    near-field correction (values of the Fourier operator's kernel at pair
+    offsets) and by tests.
+    """
+    d = D.shape[1]
+    N = b.shape[0]
+    k = jnp.arange(-(N // 2), N - N // 2, dtype=D.dtype)
+    ph = 2.0 * jnp.pi * D[:, :, None] * k[None, None, :]   # (m, d, N)
+    C = jnp.cos(ph)
+    S = jnp.sin(ph)
+    if d == 1:
+        return C[:, 0, :] @ b
+    if d == 2:
+        cc = jnp.einsum("mk,kl,ml->m", C[:, 0], b, C[:, 1])
+        ss = jnp.einsum("mk,kl,ml->m", S[:, 0], b, S[:, 1])
+        return cc - ss
+    if d == 3:
+        def tri(A1, A2, A3):
+            return jnp.einsum("mk,klr,ml,mr->m", A1, b, A2, A3)
+
+        return (
+            tri(C[:, 0], C[:, 1], C[:, 2])
+            - tri(C[:, 0], S[:, 1], S[:, 2])
+            - tri(S[:, 0], C[:, 1], S[:, 2])
+            - tri(S[:, 0], S[:, 1], C[:, 2])
+        )
+    raise NotImplementedError(f"trigpoly_eval supports d=1..3, got {d}")
+
+
+def nearfield_correction(kind: str, params: KernelParams, geom: FastsumGeometry,
+                         b, db_l, lfil: int):
+    """Sparse correction phi_exact - phi_fourier on a KNN pattern.
+
+    The fastsum analog of NFFT3's eps_I nearfield sum: the Fourier operator's
+    pointwise error is concentrated at small pair distances (kernel kinks),
+    so correcting each point's lfil nearest preceding neighbors (+ the
+    diagonal, slot lfil-1) recovers most of the truncation error for
+    non-smooth kernels.  Returns (idx, val, dval); apply symmetrically with
+    nearfield_matvec.
+    """
+    from .knn import knn_pattern
+
+    x = geom.x
+    idx, mask = knn_pattern(x, lfil)
+    D = x[:, None, :] - x[idx]                       # (n, lfil, d)
+    r2s = jnp.sum(D * D, axis=2)
+    r2_true = r2s / (geom.scale * geom.scale)
+    phi, dphi_l = _BASE_KERNELS[kind](r2_true, params.l)
+    m, dd = D.reshape(-1, D.shape[2]), D.shape[2]
+    tp = trigpoly_eval(b, m).reshape(r2s.shape)
+    dtp = trigpoly_eval(db_l, m).reshape(r2s.shape)
+    val = jnp.where(mask, phi - tp, 0.0)
+    dval = jnp.where(mask, dphi_l - dtp, 0.0)
+    return idx, val, dval
+
+
+def nearfield_matvec(idx, val, x):
+    """y = (S + S' - diag(S)) x for lower-tri padded-ELL S (self at slot -1)."""
+    from .matops import ell_matvec, ell_rmatvec
+
+    return (
+        ell_matvec(idx, val, x)
+        + ell_rmatvec(idx, val, x)
+        - val[:, -1] * x
+    )
+
+
 def fastsum_coeffs(kind: str, params: KernelParams, geom: FastsumGeometry,
-                   *, psd_clip: bool = False) -> FastsumPlan:
-    """Sample the (scaled) kernel on the torus grid and FFT — per params.
+                   *, psd_clip: bool = False, oversample: int = 2,
+                   nearfield_lfil: int = 0) -> FastsumPlan:
+    """Sample the (scaled) kernel on an OVERSAMPLED torus grid, FFT, and
+    truncate to the central N modes — per params.
+
+    oversample (default 2): the torus kernel is sampled on (oversample*N)^d
+    points; the FFT's central N modes per dim are kept.  This is the
+    anti-aliasing role of fastsum's NN = next-pow2(2N) grid
+    (nfft_interface.c:18-27): a direct N-grid DFT folds all aliases
+    c_{k+mN} into b_k, which for slowly-decaying spectra (Matérn-1/2,
+    |c_k| ~ k^-2) costs ~1e-2 matvec accuracy; the 2N-grid quadrature
+    recovers near-true periodized coefficients (matern12 matvec error
+    6e-2 -> <5e-3 at N=32).  oversample=1 reproduces the round-1 aliased
+    coefficients.
 
     phi is an even function on the torus so the DFT is real; the real part is
     kept (imag is roundoff), stored in shifted mode order (index m <-> mode
@@ -215,26 +317,38 @@ def fastsum_coeffs(kind: str, params: KernelParams, geom: FastsumGeometry,
     clipped.
     """
     N, d = geom.N, geom.d
+    Nos = int(oversample) * N
     dtype = geom.x.dtype
-    r2g = _torus_grid_r2(N, d, dtype)
+    r2g = _torus_grid_r2(Nos, d, dtype)
     r2_true = r2g / (geom.scale * geom.scale)
     k_samp, dk_dl_samp = _BASE_KERNELS[kind](r2_true, params.l)
 
-    b = jnp.real(jnp.fft.fftshift(jnp.fft.fftn(k_samp))).astype(dtype) / (N**d)
+    def coeffs(samp):
+        bs = jnp.real(jnp.fft.fftshift(jnp.fft.fftn(samp))).astype(dtype) / (Nos**d)
+        return _central_modes(bs, N, d)
+
+    b = coeffs(k_samp)
     if psd_clip:
         b = jnp.maximum(b, 0.0)
-    db_l = jnp.real(jnp.fft.fftshift(jnp.fft.fftn(dk_dl_samp))).astype(dtype) / (N**d)
+    db_l = coeffs(dk_dl_samp)
+    nf_idx = nf_val = nf_dval = None
+    if nearfield_lfil > 0:
+        nf_idx, nf_val, nf_dval = nearfield_correction(
+            kind, params, geom, b, db_l, nearfield_lfil
+        )
     return FastsumPlan(
         N=N, d=d, kind=kind, geom=geom, b=b, db_l=db_l,
         w=fold_coeffs(b, N, d), dw_l=fold_coeffs(db_l, N, d), params=params,
+        nf_idx=nf_idx, nf_val=nf_val, nf_dval=nf_dval,
     )
 
 
 def fastsum_build(kind: str, params: KernelParams, X, N: int = 32,
-                  *, psd_clip: bool = False, table_dtype=None) -> FastsumPlan:
+                  *, psd_clip: bool = False, table_dtype=None,
+                  oversample: int = 2, nearfield_lfil: int = 0) -> FastsumPlan:
     return fastsum_coeffs(
         kind, params, fastsum_geometry(X, N, table_dtype=table_dtype),
-        psd_clip=psd_clip,
+        psd_clip=psd_clip, oversample=oversample, nearfield_lfil=nearfield_lfil,
     )
 
 
@@ -447,6 +561,8 @@ def fastsum_matvec(plan: FastsumPlan, x):
     p = plan.params
     f2 = p.f * p.f
     (y,) = _folded_apply_multi(plan.geom.Tcs, [plan.w], x)
+    if plan.nf_val is not None:
+        y = y + nearfield_matvec(plan.nf_idx, plan.nf_val, x)
     return f2 * (y + p.mu * x)
 
 
@@ -455,6 +571,9 @@ def fastsum_grad_matvec(plan: FastsumPlan, x):
     p = plan.params
     f2 = p.f * p.f
     k_part, dl_part = _folded_apply_multi(plan.geom.Tcs, [plan.w, plan.dw_l], x)
+    if plan.nf_val is not None:
+        k_part = k_part + nearfield_matvec(plan.nf_idx, plan.nf_val, x)
+        dl_part = dl_part + nearfield_matvec(plan.nf_idx, plan.nf_dval, x)
     y_f = 2.0 * p.f * (k_part + p.mu * x)
     y_l = f2 * dl_part
     y_mu = f2 * x
@@ -508,22 +627,35 @@ class AdditiveFastsumPlan(NamedTuple):
 
 def additive_fastsum_coeffs(
     kind: str, params: KernelParams, geom: AdditiveFastsumGeometry,
-    *, psd_clip: bool = False,
+    *, psd_clip: bool = False, oversample: int = 2, nearfield_lfil: int = 0,
 ) -> AdditiveFastsumPlan:
     plan_groups = []
     for dw, order, bg in geom.groups:
-        plans = jax.vmap(lambda g: fastsum_coeffs(kind, params, g, psd_clip=psd_clip))(bg)
+        plans = jax.vmap(
+            lambda g: fastsum_coeffs(kind, params, g, psd_clip=psd_clip,
+                                     oversample=oversample,
+                                     nearfield_lfil=nearfield_lfil)
+        )(bg)
         plan_groups.append((dw, order, plans))
     return AdditiveFastsumPlan(n_windows=geom.n_windows, groups=tuple(plan_groups), params=params)
 
 
 def additive_fastsum_build(kind, params, X, windows, N: int = 32,
-                           *, psd_clip: bool = False, table_dtype=None):
+                           *, psd_clip: bool = False, table_dtype=None,
+                           oversample: int = 2, nearfield_lfil: int = 0):
     return additive_fastsum_coeffs(
         kind, params,
         additive_fastsum_geometry(X, windows, N, table_dtype=table_dtype),
-        psd_clip=psd_clip,
+        psd_clip=psd_clip, oversample=oversample, nearfield_lfil=nearfield_lfil,
     )
+
+
+def _window_apply(pl, x):
+    """Single-window ksum(x) including the optional near-field correction."""
+    (y,) = _folded_apply_multi(pl.geom.Tcs, [pl.w], x)
+    if pl.nf_val is not None:
+        y = y + nearfield_matvec(pl.nf_idx, pl.nf_val, x)
+    return y
 
 
 def additive_fastsum_matvec(plan: AdditiveFastsumPlan, x):
@@ -531,39 +663,162 @@ def additive_fastsum_matvec(plan: AdditiveFastsumPlan, x):
     p = plan.params
     acc = jnp.zeros_like(x)
     for dw, order, plans in plan.groups:
-        contrib = jax.vmap(
-            lambda pl: _folded_apply_multi(pl.geom.Tcs, [pl.w], x)[0]
-        )(plans)
+        contrib = jax.vmap(lambda pl: _window_apply(pl, x))(plans)
         acc = acc + jnp.sum(contrib, axis=0)
     f2 = p.f * p.f
     return f2 * (acc / plan.n_windows + p.mu * x)
 
 
-def additive_fastsum_matvec_fused(plan: AdditiveFastsumPlan, x, *, block: int = 4096,
-                                  interpret: bool = False):
-    """Additive matvec via the Pallas fused-phase NDFT kernels.
+def _packed_layout(plan: AdditiveFastsumPlan):
+    """Flatten the d<=2 window groups into the packed-kernel layout.
 
-    Regenerates phases in VMEM instead of reading the (d, n, N) tables from
-    HBM (ops/pallas_ndft.py) — the speed-of-light path for 1-2D windows;
-    3D windows fall back to the table path.
+    Returns (xT (Dtot, n), pairs, singles, w2, dw2, w1, dw1, nf2, nf1,
+    rest_groups): per-2-D-window folded weights (and near-field triples) in
+    `pairs` order, per-1-D-window in `singles` order; rest_groups = the d=3
+    groups left on the table path.
     """
-    from .pallas_ndft import fused_window_apply
-
-    p = plan.params
-    acc = jnp.zeros_like(x)
-    for dw, order, plans in plan.groups:
-        if dw <= 2:
-            Wg = plans.b.shape[0]
-            for w in range(Wg):
-                pl_w = jax.tree_util.tree_map(lambda a: a[w], plans)
-                acc = acc + fused_window_apply(
-                    pl_w.geom.x, x, pl_w.b, pl_w.N, block=block, interpret=interpret
+    rows = []
+    pairs = []
+    singles = []
+    w2, dw2, nf2 = [], [], []
+    w1, dw1, nf1 = [], [], []
+    rest = []
+    for _dw, order, plans in plan.groups:
+        # NOTE: _dw is a pytree LEAF (traced when the plan crosses a jit
+        # boundary); the static window dim comes from the geometry shape.
+        dw = plans.geom.x.shape[2]
+        if dw == 2:
+            Wg = plans.w.shape[0]
+            for k in range(Wg):
+                r0 = len(rows)
+                rows.append(plans.geom.x[k, :, 0])
+                rows.append(plans.geom.x[k, :, 1])
+                pairs.append((r0, r0 + 1))
+                w2.append(plans.w[k])
+                dw2.append(plans.dw_l[k])
+                nf2.append(
+                    None if plans.nf_val is None
+                    else (plans.nf_idx[k], plans.nf_val[k], plans.nf_dval[k])
+                )
+        elif dw == 1:
+            Wg = plans.w.shape[0]
+            for k in range(Wg):
+                rows.append(plans.geom.x[k, :, 0])
+                singles.append(len(rows) - 1)
+                w1.append(plans.w[k])
+                dw1.append(plans.dw_l[k])
+                nf1.append(
+                    None if plans.nf_val is None
+                    else (plans.nf_idx[k], plans.nf_val[k], plans.nf_dval[k])
                 )
         else:
-            contrib = jax.vmap(lambda pl_: fastsum_base_apply(pl_, pl_.b, x))(plans)
-            acc = acc + jnp.sum(contrib, axis=0)
+            rest.append((dw, order, plans))
+    xT = jnp.stack(rows) if rows else None
+    return xT, tuple(pairs), tuple(singles), w2, dw2, w1, dw1, nf2, nf1, rest
+
+
+def _packed_apply(plan: AdditiveFastsumPlan, x, weight_sel, *, block: int,
+                  interpret: bool):
+    """Shared fused-path driver: one packed adjoint + one multi-weight packed
+    forward over all d<=2 windows; d=3 windows on the table path.
+
+    weight_sel: list of (w2_key, w1_key, nf_key) picking ('w'|'dw_l') weights
+    per output set.  Returns list of accumulated ksum vectors (no f^2/mu).
+    """
+    from .pallas_ndft import packed_adjoint, packed_forward
+
+    (xT, pairs, singles, w2, dw2, w1, dw1, nf2, nf1, rest) = _packed_layout(plan)
+    P = None
+    for _dw, order, plans in plan.groups:
+        P = _nmodes(plans.N)
+        break
+    nsets = len(weight_sel)
+    accs = [jnp.zeros_like(x) for _ in range(nsets)]
+
+    if xT is not None:
+        A2, A1 = packed_adjoint(
+            xT, x, P=P, pairs=pairs, singles=singles, block=block,
+            interpret=interpret,
+        )
+        G2_sets, G1_sets = [], []
+        for sel, _ in weight_sel:
+            wsel2 = w2 if sel == "w" else dw2
+            wsel1 = w1 if sel == "w" else dw1
+            G2_sets.append(
+                [_folded_combine(wsel2[i], A2[i], 2) for i in range(len(pairs))]
+            )
+            G1_sets.append(
+                [_folded_combine(wsel1[i], A1[i], 1) for i in range(len(singles))]
+            )
+        ys = packed_forward(
+            xT, G2_sets, G1_sets, P=P, pairs=pairs, singles=singles,
+            block=block, interpret=interpret,
+        )
+        for s in range(nsets):
+            accs[s] = accs[s] + ys[s]
+        # near-field corrections (sparse, tiny next to the NDFT)
+        for s, (sel, nfsel) in enumerate(weight_sel):
+            for trip in list(nf2) + list(nf1):
+                if trip is not None:
+                    idx, val, dval = trip
+                    accs[s] = accs[s] + nearfield_matvec(
+                        idx, val if nfsel == "nf_val" else dval, x
+                    )
+
+    for dw, order, plans in rest:
+        for s, (sel, nfsel) in enumerate(weight_sel):
+            contrib = jax.vmap(
+                lambda pl_: _folded_apply_multi(
+                    pl_.geom.Tcs, [pl_.w if sel == "w" else pl_.dw_l], x
+                )[0]
+                + (
+                    nearfield_matvec(
+                        pl_.nf_idx,
+                        pl_.nf_val if nfsel == "nf_val" else pl_.nf_dval,
+                        x,
+                    )
+                    if pl_.nf_val is not None
+                    else 0.0
+                )
+            )(plans)
+            accs[s] = accs[s] + jnp.sum(contrib, axis=0)
+    return accs
+
+
+def additive_fastsum_matvec_fused(plan: AdditiveFastsumPlan, x, *, block: int = 2048,
+                                  interpret: bool = False):
+    """Additive matvec via the packed Pallas fused-phase NDFT kernels.
+
+    Regenerates phases in VMEM instead of reading the (d, n, 2P) tables from
+    HBM, packing 3 windows per 128-lane MXU tile (ops/pallas_ndft.py) — the
+    speed-of-light path for 1-2D windows; 3D windows fall back to the table
+    path.  Matches additive_fastsum_matvec to f32 roundoff.
+    """
+    p = plan.params
+    (acc,) = _packed_apply(
+        plan, x, [("w", "nf_val")], block=block, interpret=interpret
+    )
     f2 = p.f * p.f
     return f2 * (acc / plan.n_windows + p.mu * x)
+
+
+def additive_fastsum_grad_matvec_fused(plan: AdditiveFastsumPlan, x, *,
+                                       block: int = 2048,
+                                       interpret: bool = False):
+    """(3, n) gradient matvec on the fused path — K and dK/dl share one
+    phase generation per pass (ref nfft_interface.c:499-620 runs both
+    fastsum plans on the same points)."""
+    p = plan.params
+    k_acc, l_acc = _packed_apply(
+        plan, x, [("w", "nf_val"), ("dw_l", "nf_dval")], block=block,
+        interpret=interpret,
+    )
+    W = plan.n_windows
+    f2 = p.f * p.f
+    y_f = 2.0 * p.f * (k_acc / W + p.mu * x)
+    y_l = f2 * (l_acc / W)
+    y_mu = f2 * x
+    return jnp.stack([y_f, y_l, y_mu])
 
 
 def additive_fastsum_grad_matvec(plan: AdditiveFastsumPlan, x):
@@ -574,6 +829,9 @@ def additive_fastsum_grad_matvec(plan: AdditiveFastsumPlan, x):
     for dw, order, plans in plan.groups:
         def one(pl):
             kp, lp = _folded_apply_multi(pl.geom.Tcs, [pl.w, pl.dw_l], x)
+            if pl.nf_val is not None:
+                kp = kp + nearfield_matvec(pl.nf_idx, pl.nf_val, x)
+                lp = lp + nearfield_matvec(pl.nf_idx, pl.nf_dval, x)
             return kp, lp
 
         kps, lps = jax.vmap(one)(plans)

@@ -13,6 +13,7 @@ Rebuild of SRC/linearalg/rankest.c (+ MATLAB afn_setup.m:111-292):
   above 1.1*mu on the subsample — used when the scaled estimate is small.
 """
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -67,20 +68,26 @@ def eigencurve_rank(kind: str, params: KernelParams, X, key,
 
     n = X.shape[0]
     m = min(nsample, n)
+    count = int(_count_fn(kind, n, m, float(thresh_factor))(X, params, key))
+    return max(1, int(np.ceil(count * n / m)))
 
-    # one jit per (shape, kind): eager ops are per-op compile round-trips on
-    # the remote-compile TPU backend; X as an ARG (closures inline as MLIR
-    # constants there)
+
+@functools.lru_cache(maxsize=None)
+def _count_fn(kind: str, n: int, m: int, thresh_factor: float):
+    """Module-level jit cache keyed on (kind, shapes): eager ops are per-op
+    compile round-trips on the remote-compile TPU backend, and per-call
+    closures would re-trace every invocation (ADVICE r1).  X passed as an
+    ARG (closures inline as MLIR constants there)."""
+
     @jax.jit
-    def count_fn(Xv, pv, kv):
+    def count(Xv, pv, kv):
         idx = jax.random.choice(kv, n, (m,), replace=False)
         K = kernel_matrix(kind, pv, Xv[idx])
         eigs = jnp.linalg.eigvalsh(K)
         noise = pv.f * pv.f * pv.mu
         return jnp.sum(eigs > thresh_factor * noise)
 
-    count = int(count_fn(X, params, key))
-    return max(1, int(np.ceil(count * n / m)))
+    return count
 
 
 def estimate_rank(

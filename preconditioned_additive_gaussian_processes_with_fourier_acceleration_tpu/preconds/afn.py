@@ -80,6 +80,15 @@ class AfnPrecond:
     def n(self):
         return self.perm.shape[0]
 
+    @property
+    def breakdown(self):
+        """True if the Schur FSAI factorization broke down (rows repaired).
+
+        Traceable analog of the reference's breakdown check; host callers
+        (afn_setup) use it for the wholesale RAN fallback of
+        afn_setup.m:93-98."""
+        return self.gs.breakdown
+
     def _chol_solve(self, b):
         return chol_solve(self.L11, b)
 
@@ -298,8 +307,8 @@ def _afn_setup_impl(kind, params, X, plan, require_grad, windows):
     else:
         blocks = jax.vmap(lambda J: block_fn(J)[0])(idx)
         dblocks = None
-    val, dval = fsai_rows_from_blocks(blocks, dblocks, mask)
-    gs = FsaiPrecond(idx=idx, mask=mask, val=val, dval=dval)
+    val, dval, breakdown = fsai_rows_from_blocks(blocks, dblocks, mask)
+    gs = FsaiPrecond(idx=idx, mask=mask, val=val, dval=dval, breakdown=breakdown)
 
     return AfnPrecond(
         perm=perm, L11=L11, K12=K12, GK12=GK12, gs=gs, dL11=dL11, dK12=dK12
@@ -319,7 +328,14 @@ def afn_setup(
     windows=None,
     force_afn: bool = False,
 ):
-    """One-call AFN setup: plan (host) + factorization (device)."""
+    """One-call AFN setup: plan (host) + factorization (device).
+
+    If the Schur FSAI factorization breaks down (non-SPD blocks) the
+    preconditioner falls back WHOLESALE to plain Nyström on the same FPS
+    landmarks — ref afn_setup.m:93-98.  (Inside jitted refactorizations the
+    per-row diagonal repair of fsai_rows_from_blocks applies instead, which
+    keeps the operator SPD and NaN-free without a structure switch.)
+    """
     plan = afn_plan(
         kind, params, X, maxrank=maxrank, lfil=lfil, key=key, rank=rank,
         force_afn=force_afn,
@@ -327,4 +343,9 @@ def afn_setup(
     precond = afn_setup_from_plan(
         kind, params, X, plan, require_grad=require_grad, windows=windows
     )
+    if not plan.use_ran and bool(np.asarray(precond.breakdown)):
+        plan = plan._replace(use_ran=True)
+        precond = afn_setup_from_plan(
+            kind, params, X, plan, require_grad=require_grad, windows=windows
+        )
     return precond, plan

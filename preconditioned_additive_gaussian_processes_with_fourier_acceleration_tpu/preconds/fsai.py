@@ -49,6 +49,11 @@ class FsaiPrecond:
     mask: jnp.ndarray            # (n, lfil) validity
     val: jnp.ndarray             # (n, lfil) rows of G
     dval: Optional[jnp.ndarray]  # (3, n, lfil) rows of dG or None
+    # True if any row's cholesky broke down (non-SPD block) and was repaired
+    # to a diagonal row — the traceable analog of the reference's
+    # FSAI-breakdown detection (afn_setup.m:93-98); host callers may use it
+    # to fall back to RAN wholesale.
+    breakdown: Optional[jnp.ndarray] = None
 
     def solve(self, r):
         return ell_rmatvec(self.idx, self.val, ell_matvec(self.idx, self.val, r))
@@ -110,12 +115,16 @@ def _identity_splice(B, mask):
 
 
 def fsai_rows_from_blocks(blocks, dblocks, mask):
-    """Batched FSAI row solves.
+    """Batched FSAI row solves with breakdown repair.
 
     blocks: (n, lfil, lfil) kernel sub-blocks (invalid entries arbitrary)
     dblocks: (n, 3, lfil, lfil) gradients or None
     mask: (n, lfil)
-    Returns (val, dval).
+    Returns (val, dval, breakdown) — breakdown is a scalar bool, True if any
+    row's small cholesky failed (non-SPD block).  Failed rows are REPAIRED to
+    the diagonal row g = e / sqrt(B_ii) (an SPD, NaN-free preconditioner row),
+    the traceable analog of the reference's breakdown -> fallback switch
+    (afn_setup.m:93-98); no NaN can escape this function.
     """
 
     def one(B, dB, m):
@@ -127,23 +136,34 @@ def fsai_rows_from_blocks(blocks, dblocks, mask):
         dd = 1.0 / jnp.sqrt(u[-1])
         g = u * dd
         g = jnp.where(m, g, 0.0)
+        # breakdown detection + diagonal repair
+        ok = jnp.all(jnp.isfinite(g)) & (u[-1] > 0)
+        tiny = jnp.asarray(jnp.finfo(B.dtype).tiny, B.dtype)
+        Bll = jnp.maximum(jnp.abs(B[-1, -1]), tiny)
+        dd_r = 1.0 / jnp.sqrt(Bll)
+        g_r = e * dd_r
+        g = jnp.where(ok, g, g_r)
+        dd = jnp.where(ok, dd, dd_r)
         if dB is None:
-            return g, None
+            return g, None, ~ok
         dB = jnp.where(m[None, :, None] & m[None, None, :], dB, 0.0)
 
         def grad_one(dBj):
             da = jax.scipy.linalg.cho_solve((Lb, True), -(dBj @ g))
             da = da - 0.5 * da[-1] * dd * g
-            return jnp.where(m, da, 0.0)
+            da = jnp.where(m, da, 0.0)
+            # repaired row: g = B_ll^{-1/2} e -> dg = -1/2 B_ll^{-3/2} dB_ll e
+            da_r = (-0.5 * dBj[-1, -1] * dd_r * dd_r * dd_r) * e
+            return jnp.where(ok, da, da_r)
 
         dg = jax.vmap(grad_one)(dB)
-        return g, dg
+        return g, dg, ~ok
 
     if dblocks is None:
-        val = jax.vmap(lambda B, m: one(B, None, m)[0])(blocks, mask)
-        return val, None
-    val, dval = jax.vmap(one)(blocks, dblocks, mask)
-    return val, jnp.moveaxis(dval, 0, 1)  # -> (3, n, lfil)
+        val, bad = jax.vmap(lambda B, m: one(B, None, m)[::2])(blocks, mask)
+        return val, None, jnp.any(bad)
+    val, dval, bad = jax.vmap(one)(blocks, dblocks, mask)
+    return val, jnp.moveaxis(dval, 0, 1), jnp.any(bad)  # dval -> (3, n, lfil)
 
 
 def fsai_setup(
@@ -191,5 +211,5 @@ def fsai_setup(
         blocks = jax.vmap(lambda J: eval_row(J)[0])(idx)
         dblocks = None
 
-    val, dval = fsai_rows_from_blocks(blocks, dblocks, mask)
-    return FsaiPrecond(idx=idx, mask=mask, val=val, dval=dval)
+    val, dval, breakdown = fsai_rows_from_blocks(blocks, dblocks, mask)
+    return FsaiPrecond(idx=idx, mask=mask, val=val, dval=dval, breakdown=breakdown)

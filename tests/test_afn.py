@@ -140,3 +140,84 @@ def test_afn_ran_fallback(problem):
     np.testing.assert_allclose(
         np.asarray(fast.x), np.asarray(jnp.linalg.solve(K, b)), rtol=1e-6, atol=1e-7
     )
+
+
+def test_fsai_breakdown_repair():
+    """A non-SPD block must yield finite repaired rows + breakdown flag
+    (ref afn_setup.m:93-98 breakdown detection)."""
+    from nfft4gp_tpu.preconds.fsai import fsai_rows_from_blocks
+
+    rng = np.random.default_rng(3)
+    n, lfil = 12, 5
+    A = rng.normal(size=(n, lfil, lfil))
+    blocks = jnp.asarray(A @ np.transpose(A, (0, 2, 1)) + 0.5 * np.eye(lfil))
+    # make row 4 exactly singular (rank-1) and row 7 indefinite
+    blocks = blocks.at[4].set(jnp.ones((lfil, lfil)))
+    blocks = blocks.at[7].set(-jnp.eye(lfil))
+    mask = jnp.ones((n, lfil), bool)
+    dblocks = jnp.asarray(rng.normal(size=(n, 3, lfil, lfil)))
+    dblocks = 0.5 * (dblocks + jnp.swapaxes(dblocks, 2, 3))
+
+    val, dval, breakdown = fsai_rows_from_blocks(blocks, dblocks, mask)
+    assert bool(breakdown)
+    assert np.all(np.isfinite(np.asarray(val)))
+    assert np.all(np.isfinite(np.asarray(dval)))
+    # repaired rows are diagonal: g = e / sqrt(|B_ll|)
+    np.testing.assert_allclose(np.asarray(val[4, :-1]), 0.0)
+    np.testing.assert_allclose(float(val[4, -1]), 1.0, rtol=1e-12)
+    np.testing.assert_allclose(float(val[7, -1]), 1.0, rtol=1e-12)
+    # healthy rows unchanged vs a healthy-only batch
+    val2, _, b2 = fsai_rows_from_blocks(
+        blocks[:4], dblocks[:4], mask[:4]
+    )
+    assert not bool(b2)
+    np.testing.assert_allclose(np.asarray(val[:4]), np.asarray(val2))
+
+
+def test_afn_breakdown_falls_back_to_ran(problem):
+    """Degenerate Schur blocks (duplicate points, mu=0) -> wholesale RAN
+    fallback, matching afn_setup.m:93-98; PCG still converges."""
+    rng = np.random.default_rng(5)
+    n = 96
+    base = rng.uniform(size=(n // 2, 2))
+    X = jnp.asarray(np.concatenate([base, base], axis=0))  # exact duplicates
+    p0 = KernelParams.make(1.0, 0.3, 0.0)  # zero noise -> singular blocks
+    pre, plan = afn_setup(
+        "gaussian", p0, X, maxrank=16, lfil=6, rank=16, force_afn=True
+    )
+    assert plan.use_ran
+    assert isinstance(pre, NystromPrecond)
+    # refactorize the fallen-back plan at a positive-noise parameter point
+    # (the training flow: structure from the plan, numerics per params) and
+    # solve an SPD system with it
+    p1 = KernelParams.make(1.0, 0.3, 0.05)
+    pre = afn_setup_from_plan("gaussian", p1, X, plan)
+    K = kernel_matrix("gaussian", p1, X)
+    b = jnp.asarray(rng.normal(size=(n,)))
+    fast = pcg(lambda x: K @ x, b, precond=pre.solve, tol=1e-8, maxits=300)
+    np.testing.assert_allclose(
+        np.asarray(fast.x), np.asarray(jnp.linalg.solve(K, b)), rtol=1e-5, atol=1e-6
+    )
+    assert np.all(np.isfinite(np.asarray(fast.x)))
+
+
+def test_afn_jitted_repair_no_nan(problem):
+    """Inside jit (no structure switch possible) degenerate Schur blocks are
+    row-repaired: the AFN solve stays finite and SPD."""
+    rng = np.random.default_rng(7)
+    n = 96
+    base = rng.uniform(size=(n // 2, 2))
+    X = jnp.asarray(np.concatenate([base, base], axis=0))
+    p0 = KernelParams.make(1.0, 0.3, 0.0)
+    plan = afn_plan("gaussian", p0, X, maxrank=16, lfil=6, rank=16, force_afn=True)
+    assert not plan.use_ran
+    pre = jax.jit(
+        lambda Xv: afn_setup_from_plan("gaussian", p0, Xv, plan, require_grad=True)
+    )(X)
+    assert bool(pre.breakdown)
+    r = jnp.asarray(rng.normal(size=(n,)))
+    y = pre.solve(r)
+    assert np.all(np.isfinite(np.asarray(y)))
+    assert float(r @ y) > 0.0  # SPD
+    assert np.isfinite(float(pre.logdet()))
+    assert np.all(np.isfinite(np.asarray(pre.trace())))

@@ -34,7 +34,7 @@ def rel_err(a, b):
 
 
 @pytest.mark.parametrize(
-    "kind,tol", [("gaussian", 1e-4), ("matern32", 5e-3), ("matern12", 6e-2)]
+    "kind,tol", [("gaussian", 1e-4), ("matern32", 5e-3), ("matern12", 4.5e-2)]
 )
 @pytest.mark.parametrize("d", [1, 2])
 def test_fastsum_matvec_vs_dense(kind, tol, d):
@@ -65,7 +65,7 @@ def test_fastsum_error_decreases_with_N():
     assert errs[2] < errs[1] < errs[0]
 
 
-@pytest.mark.parametrize("kind,tol", [("gaussian", 2e-4), ("matern12", 8e-2)])
+@pytest.mark.parametrize("kind,tol", [("gaussian", 2e-4), ("matern12", 6.5e-2)])
 def test_fastsum_grad_matvec_vs_dense(kind, tol):
     rng = np.random.default_rng(37)
     n = 250
@@ -161,3 +161,81 @@ def test_additive_fastsum_bf16_tables():
         x,
     )
     assert rel_err(out, ref) < 2e-2
+
+
+def test_fastsum_oversampled_coeffs_beat_aliased():
+    """The NN=2N-style oversampled coefficient quadrature
+    (nfft_interface.c:18-27) beats the direct N-grid (aliased) DFT for
+    slowly-decaying spectra."""
+    rng = np.random.default_rng(61)
+    n = 300
+    X = jnp.asarray(rng.uniform(size=(n, 2)))
+    p = KernelParams.make(1.2, 0.25, 0.05)
+    K = kernel_matrix("matern12", p, X)
+    x = jnp.asarray(rng.normal(size=(n,)))
+    e_alias = rel_err(
+        fastsum_matvec(fastsum_build("matern12", p, X, N=32, oversample=1), x), K @ x
+    )
+    e_over = rel_err(
+        fastsum_matvec(fastsum_build("matern12", p, X, N=32, oversample=2), x), K @ x
+    )
+    assert e_over < 0.8 * e_alias
+
+
+@pytest.mark.parametrize(
+    "d,N,lfil,tol",
+    [
+        (2, 32, 32, 8e-3),   # VERDICT #3 target: ~5x below the uncorrected 4e-2
+        (1, 64, 16, 3e-3),   # 1-D kink error decays slowly in distance; use N
+    ],
+)
+def test_fastsum_nearfield_corrected_matern12(d, N, lfil, tol):
+    """Near-field sparse correction (the eps_I role of NFFT3 fastsum) takes
+    Matérn-1/2 below the smooth-kernel tolerance range."""
+    rng = np.random.default_rng(31)
+    n = 300
+    X = jnp.asarray(rng.uniform(size=(n, d)))
+    p = KernelParams.make(1.2, 0.25, 0.05)
+    K, dK = kernel_matrix_with_grad("matern12", p, X)
+    x = jnp.asarray(rng.normal(size=(n,)))
+    plan = fastsum_build("matern12", p, X, N=N, nearfield_lfil=lfil)
+    assert rel_err(fastsum_matvec(plan, x), K @ x) < tol
+    dy = fastsum_grad_matvec(plan, x)
+    for j in range(3):
+        assert rel_err(dy[j], dK[j] @ x) < 3 * tol, f"grad {j}"
+    # still exactly symmetric
+    a = jnp.asarray(rng.normal(size=(n,)))
+    b = jnp.asarray(rng.normal(size=(n,)))
+    np.testing.assert_allclose(
+        float(jnp.vdot(a, fastsum_matvec(plan, b))),
+        float(jnp.vdot(b, fastsum_matvec(plan, a))),
+        rtol=1e-10,
+    )
+
+
+def test_additive_fastsum_nearfield():
+    """Per-window near-field corrections compose through the additive mean."""
+    rng = np.random.default_rng(67)
+    n = 200
+    X = jnp.asarray(rng.uniform(size=(n, 4)))
+    p = KernelParams.make(1.0, 0.3, 0.05)
+    windows = make_windows([[0, 1], [2, 3]])
+    K = additive_kernel_matrix("matern12", p, X, windows)
+    x = jnp.asarray(rng.normal(size=(n,)))
+    e0 = rel_err(
+        additive_fastsum_matvec(
+            additive_fastsum_build("matern12", p, X, windows, N=32), x
+        ),
+        K @ x,
+    )
+    e1 = rel_err(
+        additive_fastsum_matvec(
+            additive_fastsum_build(
+                "matern12", p, X, windows, N=32, nearfield_lfil=24
+            ),
+            x,
+        ),
+        K @ x,
+    )
+    assert e1 < 0.5 * e0
+    assert e1 < 5e-3

@@ -1,4 +1,4 @@
-"""Pallas fused-phase NDFT kernels vs the table-based path (interpret mode)."""
+"""Packed fused-phase NDFT Pallas kernels vs the table path (interpret mode)."""
 
 import jax
 import jax.numpy as jnp
@@ -6,47 +6,103 @@ import numpy as np
 import pytest
 
 from nfft4gp_tpu.ops.fastsum import (
+    additive_fastsum_build,
+    additive_fastsum_matvec,
+    additive_fastsum_grad_matvec,
+    additive_fastsum_matvec_fused,
+    additive_fastsum_grad_matvec_fused,
     fastsum_geometry,
     fastsum_coeffs,
-    fastsum_base_apply,
+    _folded_adjoint,
+    _folded_combine,
+    _folded_forward,
 )
-from nfft4gp_tpu.ops.kernels import KernelParams
-from nfft4gp_tpu.ops.pallas_ndft import (
-    ndft_adjoint1,
-    ndft_adjoint2,
-    fused_window_apply,
-)
-from nfft4gp_tpu.ops.fastsum import _ndft_adjoint, _full_tables
+from nfft4gp_tpu.ops.kernels import KernelParams, make_windows
+from nfft4gp_tpu.ops.pallas_ndft import packed_adjoint, packed_forward
 
 
-@pytest.mark.parametrize("d", [1, 2])
-def test_fused_apply_matches_table_path(d):
+def test_packed_adjoint_matches_folded():
     rng = np.random.default_rng(101)
     n, N = 300, 16
-    X = jnp.asarray(rng.uniform(size=(n, d)), jnp.float32)
-    p = KernelParams.make(1.0, 0.4, 0.05, dtype=jnp.float32)
-    geom = fastsum_geometry(X, N)
-    plan = fastsum_coeffs("gaussian", p, geom)
+    P = N // 2 + 1
+    X = jnp.asarray(rng.uniform(size=(n, 5)), jnp.float32)
     alpha = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
+    geos = [fastsum_geometry(X[:, [a, b]], N) for a, b in [(0, 1), (2, 3)]]
+    geo1 = fastsum_geometry(X[:, [4]], N)
 
-    ref = fastsum_base_apply(plan, plan.b, alpha)
-    out = fused_window_apply(
-        geom.x, alpha, plan.b, N, block=128, interpret=True
+    xT = jnp.stack(
+        [geos[0].x[:, 0], geos[0].x[:, 1], geos[1].x[:, 0], geos[1].x[:, 1],
+         geo1.x[:, 0]]
     )
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+    A2, A1 = packed_adjoint(
+        xT, alpha, P=P, pairs=((0, 1), (2, 3)), singles=(4,), block=128,
+        interpret=True,
+    )
+    for w, g in enumerate(geos):
+        ref = _folded_adjoint(g.Tcs, alpha)
+        np.testing.assert_allclose(
+            np.asarray(A2[w]), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
+    ref1 = _folded_adjoint(geo1.Tcs, alpha)
+    np.testing.assert_allclose(np.asarray(A1[0]), np.asarray(ref1), rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("d", [1, 2])
-def test_adjoint_matches_table_path(d):
+def test_packed_forward_matches_folded():
     rng = np.random.default_rng(103)
-    n, N = 200, 16
-    X = jnp.asarray(rng.uniform(size=(n, d)) - 0.5, jnp.float32) * 0.5
+    n, N = 256, 16
+    P = N // 2 + 1
+    X = jnp.asarray(rng.uniform(size=(n, 3)), jnp.float32)
+    p = KernelParams.make(1.0, 0.4, 0.05, dtype=jnp.float32)
+    g2 = fastsum_geometry(X[:, [0, 1]], N)
+    g1 = fastsum_geometry(X[:, [2]], N)
+    p2 = fastsum_coeffs("gaussian", p, g2)
+    p1 = fastsum_coeffs("gaussian", p, g1)
     alpha = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
-    geom = fastsum_geometry(X, N)
-    re_ref, im_ref = _ndft_adjoint(_full_tables(geom.x, N), alpha)
-    if d == 1:
-        re, im = ndft_adjoint1(geom.x, alpha, N, block=64, interpret=True)
-    else:
-        re, im = ndft_adjoint2(geom.x, alpha, N, block=64, interpret=True)
-    np.testing.assert_allclose(np.asarray(re), np.asarray(re_ref), rtol=2e-4, atol=2e-4)
-    np.testing.assert_allclose(np.asarray(im), np.asarray(im_ref), rtol=2e-4, atol=2e-4)
+
+    A2 = _folded_adjoint(g2.Tcs, alpha)
+    A1 = _folded_adjoint(g1.Tcs, alpha)
+    G2 = _folded_combine(p2.w, A2, 2)
+    G1 = _folded_combine(p1.w, A1, 1)
+
+    xT = jnp.stack([g2.x[:, 0], g2.x[:, 1], g1.x[:, 0]])
+    ys = packed_forward(
+        xT, [[G2]], [[G1]], P=P, pairs=((0, 1),), singles=(2,), block=128,
+        interpret=True,
+    )
+    ref = _folded_forward(g2.Tcs, G2) + _folded_forward(g1.Tcs, G1)
+    np.testing.assert_allclose(np.asarray(ys[0]), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("nearfield", [0, 12])
+def test_fused_additive_matvec_matches_table(nearfield):
+    """5 x 2-D + 1 x 1-D windows: packed fused path == table path."""
+    rng = np.random.default_rng(107)
+    n, d = 400, 11
+    X = jnp.asarray(rng.uniform(size=(n, d)), jnp.float32)
+    p = KernelParams.make(1.1, 0.5, 0.02, dtype=jnp.float32)
+    windows = make_windows([[0, 1], [2, 3], [4, 5], [6, 7], [8, 9], [10]])
+    plan = additive_fastsum_build(
+        "gaussian", p, X, windows, N=32, nearfield_lfil=nearfield
+    )
+    x = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
+
+    ref = additive_fastsum_matvec(plan, x)
+    out = additive_fastsum_matvec_fused(plan, x, block=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-4, atol=3e-4)
+
+    dref = additive_fastsum_grad_matvec(plan, x)
+    dout = additive_fastsum_grad_matvec_fused(plan, x, block=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(dout), np.asarray(dref), rtol=3e-4, atol=3e-4)
+
+
+def test_fused_path_keeps_3d_windows_on_tables():
+    rng = np.random.default_rng(109)
+    n = 200
+    X = jnp.asarray(rng.uniform(size=(n, 5)), jnp.float32)
+    p = KernelParams.make(1.0, 0.6, 0.05, dtype=jnp.float32)
+    windows = make_windows([[0, 1, 2], [3, 4]])
+    plan = additive_fastsum_build("gaussian", p, X, windows, N=16)
+    x = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
+    ref = additive_fastsum_matvec(plan, x)
+    out = additive_fastsum_matvec_fused(plan, x, block=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-4, atol=3e-4)
