@@ -49,13 +49,16 @@ def adam_run(
     beta2: float = 0.999,
     eps: float = 1e-8,
     callback: Callable = None,
+    state0: "AdamState" = None,
 ):
     """Python-driver Adam loop (history like adam.h:37-42).
 
     Returns (final_state, loss_history, x_history, grad_history).
     Each loss_fn call can be a fully jitted GP loss evaluation.
+    state0: optional warm-start state (continues moments/step count across
+    segmented runs, e.g. GPProblem.fit's AFN plan-refresh segments).
     """
-    state = adam_init(x0)
+    state = adam_init(x0) if state0 is None else state0
     losses, xs, grads = [], [state.x], []
     for it in range(maxits):
         loss, grad = loss_fn(state.x)

@@ -184,12 +184,19 @@ class GPProblem:
 
     def fit(
         self, X, y, *, init=(1.0, 1.0, 0.1), adam_maxits=100, adam_alpha=0.01,
-        adam_tol=1e-6, verbose=False,
+        adam_tol=1e-6, verbose=False, replan_every=0,
     ):
-        """Train hyperparameters with Adam (ref TEST4/foo.cpp:318-347)."""
+        """Train hyperparameters with Adam (ref TEST4/foo.cpp:318-347).
+
+        replan_every > 0 (AFN only): re-run the structural AFN plan (rank
+        estimation + FPS + KNN pattern) every `replan_every` Adam steps at
+        the CURRENT hyperparameters — the reference re-evaluates setup per
+        loss eval with current params (gp_loss.c:163-172); under jit the
+        structural decision must be static, so it refreshes between
+        segments while Adam moments carry over.
+        """
         X = jnp.asarray(X)
         y = jnp.asarray(y)
-        loss_fn = self.make_loss(X, y, params0=init)
         x0 = transform_inverse(self.transform, jnp.asarray(init, X.dtype))
 
         def cb(it, state, loss, grad):
@@ -203,10 +210,33 @@ class GPProblem:
                     f"{float(tv[0]):.6g} {float(tv[1]):.6g} {float(tv[2]):.6g}"
                 )
 
-        state, losses, xs, grads = adam_run(
-            loss_fn, x0, maxits=adam_maxits, tol=adam_tol, alpha=adam_alpha,
-            callback=cb,
-        )
+        if replan_every and self.precond == "afn":
+            from .transforms import transform_forward
+
+            state, losses = None, []
+            cur_init = init
+            remaining = adam_maxits
+            x = x0
+            while remaining > 0:
+                seg = min(replan_every, remaining)
+                loss_fn = self.make_loss(X, y, params0=cur_init)
+                state, seg_losses, xs, grads = adam_run(
+                    loss_fn, x, maxits=seg, tol=adam_tol, alpha=adam_alpha,
+                    callback=cb, state0=state,
+                )
+                losses.extend(seg_losses)
+                x = state.x
+                tv, _ = transform_forward(self.transform, state.x)
+                cur_init = tuple(float(v) for v in tv)
+                remaining -= seg
+                if grads and float(jnp.linalg.norm(grads[-1])) < adam_tol:
+                    break
+        else:
+            loss_fn = self.make_loss(X, y, params0=init)
+            state, losses, xs, grads = adam_run(
+                loss_fn, x0, maxits=adam_maxits, tol=adam_tol, alpha=adam_alpha,
+                callback=cb,
+            )
         self.raw_params_ = state.x
         self.loss_history_ = [float(v) for v in losses]
         return self

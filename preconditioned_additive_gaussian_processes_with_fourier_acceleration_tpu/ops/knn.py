@@ -4,9 +4,11 @@ TPU-native rebuild of Nfft4GPDistanceEuclidKnn (ref: SRC/linearalg/kernels.c:
 121-403): for each point i, the lfil-1 nearest *preceding* points (j < i) —
 a lower-triangular CSR pattern — with i itself as the last entry of the row.
 
-Instead of per-row quickselect on the host, rows are processed in fixed-size
-blocks: a (block, n) distance tile (one GEMM) is masked to j < i and reduced
-with lax.top_k — O(n^2/block) tiles, each MXU + VPU friendly.
+Instead of per-row quickselect on the host, rows AND columns are processed in
+fixed-size blocks: each (row_block, col_block) distance tile is one GEMM,
+masked to j < i and reduced with lax.top_k; a running top-k merge across
+column blocks keeps peak memory at O(row_block * col_block) — at n = 1e6 the
+row-blocked-only variant needed 4 GB/tile, the 2-D blocking ~128 MB.
 
 Output is padded-ELL: idx (n, lfil) int32 (padded entries = i, the row's own
 index), mask (n, lfil) bool.  Slot lfil-1 always holds the diagonal i.
@@ -16,10 +18,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .distances import sq_distance
 
-
-def knn_pattern(X, lfil: int, *, block: int = 1024):
+def knn_pattern(X, lfil: int, *, block: int = 1024, col_block: int = 32768):
     """Lower-triangular KNN pattern.
 
     Returns (idx, mask): (n, lfil) arrays; row i holds up to lfil-1 nearest
@@ -31,31 +31,50 @@ def knn_pattern(X, lfil: int, *, block: int = 1024):
     nb = -(-n // block)
     npad = nb * block
     Xpad = jnp.zeros((npad, d), X.dtype).at[:n].set(X)
-    row_ids = jnp.arange(npad)
 
-    xx = jnp.sum(X * X, axis=1)
+    cb = min(col_block, n)
+    ncb = -(-n // cb)
+    ncpad = ncb * cb
+    Xcpad = jnp.zeros((ncpad, d), X.dtype).at[:n].set(X)
+    cxx = jnp.sum(Xcpad * Xcpad, axis=1)
 
     def one_block(b):
         rows = b * block + jnp.arange(block)
         Xb = Xpad[rows]
-        d2 = (
-            jnp.sum(Xb * Xb, axis=1)[:, None]
-            + xx[None, :]
-            - 2.0 * (Xb @ X.T)
-        )  # (block, n)
-        col = jnp.arange(n)[None, :]
-        valid = col < jnp.minimum(rows[:, None], n)
-        d2 = jnp.where(valid, d2, jnp.inf)
-        if k > 0:
-            neg, idx = lax.top_k(-d2, k)
-            kmask = jnp.isfinite(-neg)
-        else:
-            idx = jnp.zeros((block, 0), jnp.int32)
-            kmask = jnp.zeros((block, 0), bool)
+        bxx = jnp.sum(Xb * Xb, axis=1)[:, None]
+
+        if k == 0:
+            return (
+                jnp.zeros((block, 0), jnp.int32),
+                jnp.zeros((block, 0), bool),
+            )
+
+        def col_step(c, carry):
+            best_d, best_i = carry
+            cols = c * cb + jnp.arange(cb)
+            Xc = Xcpad[cols]
+            d2 = bxx + cxx[cols][None, :] - 2.0 * (Xb @ Xc.T)  # (block, cb)
+            valid = cols[None, :] < jnp.minimum(rows[:, None], n)
+            d2 = jnp.where(valid, d2, jnp.inf)
+            # merge this tile's top-k with the running top-k
+            cat_d = jnp.concatenate([best_d, d2], axis=1)
+            cat_i = jnp.concatenate(
+                [best_i, jnp.broadcast_to(cols[None, :].astype(jnp.int32), d2.shape)],
+                axis=1,
+            )
+            neg, sel = lax.top_k(-cat_d, k)
+            return -neg, jnp.take_along_axis(cat_i, sel, axis=1)
+
+        init = (
+            jnp.full((block, k), jnp.inf, X.dtype),
+            jnp.zeros((block, k), jnp.int32),
+        )
+        best_d, best_i = lax.fori_loop(0, ncb, col_step, init)
+        kmask = jnp.isfinite(best_d)
         # sort selected indices ascending (reference rows are index-sorted)
-        sort_key = jnp.where(kmask, idx, n + 1)
+        sort_key = jnp.where(kmask, best_i, n + 1)
         order = jnp.argsort(sort_key, axis=1)
-        idx = jnp.take_along_axis(idx, order, axis=1)
+        idx = jnp.take_along_axis(best_i, order, axis=1)
         kmask = jnp.take_along_axis(kmask, order, axis=1)
         return idx, kmask
 

@@ -4,24 +4,32 @@ The table-based folded NDFT (ops/fastsum.py) is HBM-bound: the per-dim
 (n, 2P) cos/sin tables are read twice per matvec (~550 MB at n=2e5, d=10
 f32).  These kernels regenerate the phases in VMEM from the raw points
 (n*d floats, ~70x less HBM traffic) and pack MULTIPLE WINDOWS into each MXU
-tile so the 2P = N/2+1 folded mode width (34 at N=32) fills the 128-lane
-systolic array — the round-1 per-window kernel ran 34/128 of the MXU and
-lost 3.4x; packing 3 windows (102 lanes) recovers it.
+tile so the folded mode width fills the 128-lane systolic array.
+
+Two hard-won layout rules (measured on v5e):
+  1. EVERY sublane dimension is a multiple of 8.  The natural folded width
+     2P = N+2 = 34 is not; operands built by concatenating 17-row slices
+     force Mosaic onto slow relayout paths (the round-1 kernel lost 3.4x and
+     a 34-row packed variant still lost 2.5x).  Phases therefore live in a
+     (Dtot, 48, B) tensor: rows 0..16 cos(p th), rows 24..40 sin(p th), pad
+     rows in between — every slice/concat lands on an 8-aligned boundary.
+  2. Windows pack 2-per-GEMM (96 rows <= 128 lanes), and the per-window
+     48-row operand is a FREE leading-index slice T6[j].
 
 Pipeline per matvec (same math as fastsum._folded_apply_multi):
-  adjoint   A_w = (L0_w * alpha) @ L1_w'          L0/L1 = [cos;sin] phase rows
+  adjoint   A_w = (L0_w * alpha) @ L1_w'          L0/L1 = 48-row phase blocks
   combine   B_w = _folded_combine(W_w, A_w)       (outside, tiny)
   forward   y_i = sum_w L0_w[:,i]' B_w L1_w[:,i]
             = column-sum of L0_g * (Bdiag_g @ L1_g)   (no transposes)
 
-Kernel layout: everything lives as (modes, points) with points on the lane
-axis; phases are built by one cos+sin over a (Dtot*P, B) block whose rows are
-dim-major (row j*P + p holds trig(2 pi p x_jd)).  The forward supports
-multiple weight sets per pass (K and dK/dl share one phase generation — ref
-nfft_interface.c:499-620 runs both plans).
+The pad rows carry bounded garbage (cos of clamped phases); they are never
+read: the adjoint extraction slices the real mode rows outside the kernel and
+the forward's block-diagonal G has zeros at pad positions.
 
-1-D windows ride along as a GEMV against alpha (adjoint) and a broadcast
-row-sum (forward).  3-D windows stay on the table path (ops/fastsum.py).
+The forward supports multiple weight sets per pass (K and dK/dl share one
+phase generation — ref nfft_interface.c:499-620 runs both plans).  1-D
+windows ride along as a GEMV against alpha (adjoint) and a broadcast row-sum
+(forward).  3-D windows stay on the table path (ops/fastsum.py).
 
 Ref: this replaces NFFT3's fastsum engine role (nfft_interface.c:400-497);
 the separable folded-NDFT formulation needs no gridding scatter, so the TPU
@@ -38,57 +46,68 @@ from jax.experimental.pallas import tpu as pltpu
 TWO_PI = 6.283185307179586
 
 
+def _rpad(P: int) -> int:
+    """Per-dim phase-block rows: P padded up to a multiple of 8."""
+    return ((P + 7) // 8) * 8
+
+
+def _wrows(P: int) -> int:
+    """Rows per window operand: [cos pad | sin pad]."""
+    return 2 * _rpad(P)
+
+
 def _group_windows(n_windows: int, P: int):
-    """Static grouping: as many 2P-wide windows as fit 128 lanes per tile."""
-    per = max(1, 128 // (2 * P))
+    """Static grouping: as many padded windows as fit 128 lanes per tile."""
+    per = max(1, 128 // _wrows(P))
     return tuple(
         tuple(range(s, min(s + per, n_windows)))
         for s in range(0, n_windows, per)
     )
 
 
-def _build_CS(xT_block, P: int):
-    """cos/sin(2 pi p x) rows, dim-major: (Dtot*P, B) each.
+def _build_T6(xT_block, P: int):
+    """(Dtot, 2*RP, B) phase tensor; T6[j] is dim j's 48-row window operand.
 
-    Row r = j*P + p of C holds cos(2 pi p x_j).  One broadcast multiply plus
-    one cos and one sin over the whole block; the transcendental count is
-    n * Dtot * P * 2 per pass (~0.1 ms at n=2e5, Dtot=10, P=17 on v5e).
+    Rows [0:P] hold cos(2 pi p x_j), rows [RP:RP+P] hold sin; pad rows
+    (p >= P) evaluate trig at p=0 (bounded, never read).  Construction is one
+    broadcast multiply + one cos + one sin over aligned blocks — no
+    sublane-misaligned shuffles (layout rule 1 in the module docstring).
     """
     Dtot, B = xT_block.shape
-    th = TWO_PI * xT_block                                   # (Dtot, B)
-    th_rep = jnp.concatenate(
-        [jnp.broadcast_to(th[j : j + 1], (P, B)) for j in range(Dtot)], axis=0
-    )                                                        # (Dtot*P, B)
-    pcol = (
-        jax.lax.broadcasted_iota(jnp.int32, (Dtot * P, 1), 0) % P
-    ).astype(xT_block.dtype)
-    ph = pcol * th_rep
-    return jnp.cos(ph), jnp.sin(ph)
+    RP = _rpad(P)
+    th3 = (TWO_PI * xT_block)[:, None, :]                     # (Dtot, 1, B)
+    p3 = jax.lax.broadcasted_iota(jnp.int32, (1, RP, 1), 1)
+    p3 = jnp.where(p3 < P, p3, 0).astype(xT_block.dtype)
+    ph = th3 * p3                                             # (Dtot, RP, B)
+    return jnp.concatenate([jnp.cos(ph), jnp.sin(ph)], axis=1)
 
 
-def _window_rows(C, S, j, P):
-    """(2P, B) = [cos rows of dim j; sin rows of dim j]."""
-    return jnp.concatenate([C[j * P : (j + 1) * P], S[j * P : (j + 1) * P]], axis=0)
-
-
-def _dot(a, b, dn):
+def _dot(a, b, dn, precision):
     return jax.lax.dot_general(
         a, b, dimension_numbers=dn, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
+
+
+def _precision(name: str):
+    return {
+        "highest": jax.lax.Precision.HIGHEST,
+        "default": jax.lax.Precision.DEFAULT,
+    }[name]
 
 
 # --- adjoint ----------------------------------------------------------------
 
-def _adjoint_kernel(P, pairs, singles, groups, xT_ref, a_ref, *out_refs):
+def _adjoint_kernel(P, pairs, singles, groups, prec, xT_ref, a_ref, *out_refs):
     i = pl.program_id(0)
-    C, S = _build_CS(xT_ref[:, :], P)
+    T6 = _build_T6(xT_ref[:, :], P)
     a = a_ref[:, :]                                          # (1, B)
+    precision = _precision(prec)
 
     for g, out_ref in zip(groups, out_refs[: len(groups)]):
-        L0 = jnp.concatenate([_window_rows(C, S, pairs[w][0], P) for w in g], axis=0)
-        L1 = jnp.concatenate([_window_rows(C, S, pairs[w][1], P) for w in g], axis=0)
-        M = _dot(L0 * a, L1, (((1,), (1,)), ((), ())))       # (rows_g, rows_g)
+        L0 = jnp.concatenate([T6[pairs[w][0]] for w in g], axis=0)
+        L1 = jnp.concatenate([T6[pairs[w][1]] for w in g], axis=0)
+        M = _dot(L0 * a, L1, (((1,), (1,)), ((), ())), precision)
 
         @pl.when(i == 0)
         def _():
@@ -98,8 +117,8 @@ def _adjoint_kernel(P, pairs, singles, groups, xT_ref, a_ref, *out_refs):
 
     if singles:
         out_ref = out_refs[len(groups)]
-        L0 = jnp.concatenate([_window_rows(C, S, j, P) for j in singles], axis=0)
-        v = _dot(L0, a, (((1,), (1,)), ((), ())))            # (rows1, 1)
+        Ls = jnp.concatenate([T6[j] for j in singles], axis=0)
+        v = _dot(Ls, a, (((1,), (1,)), ((), ())), precision)
 
         @pl.when(i == 0)
         def _():
@@ -108,11 +127,46 @@ def _adjoint_kernel(P, pairs, singles, groups, xT_ref, a_ref, *out_refs):
         out_ref[:, :] += v.astype(out_ref.dtype)
 
 
+def _unpad_A(Mpad, P: int):
+    """(WR, WR) padded adjoint block -> (2P, 2P) [cos|sin] x [cos|sin]."""
+    RP = _rpad(P)
+    cc = Mpad[:P, :P]
+    cs = Mpad[:P, RP : RP + P]
+    sc = Mpad[RP : RP + P, :P]
+    ss = Mpad[RP : RP + P, RP : RP + P]
+    return jnp.concatenate(
+        [jnp.concatenate([cc, cs], axis=1), jnp.concatenate([sc, ss], axis=1)],
+        axis=0,
+    )
+
+
+def _pad_G(G, P: int):
+    """(2P, 2P) combined block tensor -> (WR, WR) with zeros at pad rows."""
+    RP = _rpad(P)
+    WR = 2 * RP
+    out = jnp.zeros((WR, WR), G.dtype)
+    out = out.at[:P, :P].set(G[:P, :P])
+    out = out.at[:P, RP : RP + P].set(G[:P, P:])
+    out = out.at[RP : RP + P, :P].set(G[P:, :P])
+    out = out.at[RP : RP + P, RP : RP + P].set(G[P:, P:])
+    return out
+
+
+def _pad_g1(g, P: int):
+    """(2P,) 1-D combined vector -> (WR,) with zeros at pad rows."""
+    RP = _rpad(P)
+    out = jnp.zeros((2 * RP,), g.dtype)
+    out = out.at[:P].set(g[:P])
+    return out.at[RP : RP + P].set(g[P:])
+
+
 @functools.partial(
-    jax.jit, static_argnames=("P", "pairs", "singles", "block", "interpret")
+    jax.jit,
+    static_argnames=("P", "pairs", "singles", "block", "interpret", "prec"),
 )
 def packed_adjoint(xT, alpha, *, P: int, pairs: tuple, singles: tuple = (),
-                   block: int = 2048, interpret: bool = False):
+                   block: int = 2048, interpret: bool = False,
+                   prec: str = "highest"):
     """Folded adjoint mode tensors for all windows in one fused kernel.
 
     xT: (Dtot, n) scaled window coordinates (dim-major rows)
@@ -130,19 +184,19 @@ def packed_adjoint(xT, alpha, *, P: int, pairs: tuple, singles: tuple = (),
     ap = jnp.zeros((1, npad), dtype).at[0, :n].set(alpha)
 
     groups = _group_windows(len(pairs), P)
-    W2 = 2 * P
+    WR = _wrows(P)
     out_shapes = [
-        jax.ShapeDtypeStruct((W2 * len(g), W2 * len(g)), dtype) for g in groups
+        jax.ShapeDtypeStruct((WR * len(g), WR * len(g)), dtype) for g in groups
     ]
     out_specs = [
-        pl.BlockSpec((W2 * len(g), W2 * len(g)), lambda i: (0, 0)) for g in groups
+        pl.BlockSpec((WR * len(g), WR * len(g)), lambda i: (0, 0)) for g in groups
     ]
     if singles:
-        out_shapes.append(jax.ShapeDtypeStruct((W2 * len(singles), 1), dtype))
-        out_specs.append(pl.BlockSpec((W2 * len(singles), 1), lambda i: (0, 0)))
+        out_shapes.append(jax.ShapeDtypeStruct((WR * len(singles), 1), dtype))
+        out_specs.append(pl.BlockSpec((WR * len(singles), 1), lambda i: (0, 0)))
 
     outs = pl.pallas_call(
-        functools.partial(_adjoint_kernel, P, pairs, singles, groups),
+        functools.partial(_adjoint_kernel, P, pairs, singles, groups, prec),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((Dtot, block), lambda i: (0, i)),
@@ -157,43 +211,43 @@ def packed_adjoint(xT, alpha, *, P: int, pairs: tuple, singles: tuple = (),
     for gi, g in enumerate(groups):
         Mg = outs[gi]
         for k, w in enumerate(g):
-            A2.append(Mg[k * W2 : (k + 1) * W2, k * W2 : (k + 1) * W2])
+            A2.append(_unpad_A(Mg[k * WR : (k + 1) * WR, k * WR : (k + 1) * WR], P))
     A1 = []
     if singles:
         v = outs[len(groups)][:, 0]
+        RP = _rpad(P)
         for k in range(len(singles)):
-            A1.append(v[k * W2 : (k + 1) * W2])
+            blockv = v[k * WR : (k + 1) * WR]
+            A1.append(jnp.concatenate([blockv[:P], blockv[RP : RP + P]]))
     return A2, A1
 
 
 # --- forward ----------------------------------------------------------------
 
-def _forward_kernel(P, pairs, singles, groups, nsets, xT_ref, *refs):
-    # refs: [G_g for each set x group] + [B1 for each set (if singles)] + y_refs
+def _forward_kernel(P, pairs, singles, groups, nsets, prec,
+                    xT_ref, *refs):
+    # refs: [G_g per set x group] + [B1 per set (if singles)] + y_refs
     n_g_in = nsets * len(groups)
     n_s_in = nsets if singles else 0
     in_refs = refs[: n_g_in + n_s_in]
     y_refs = refs[n_g_in + n_s_in :]
+    precision = _precision(prec)
 
-    C, S = _build_CS(xT_ref[:, :], P)
+    T6 = _build_T6(xT_ref[:, :], P)
     B = xT_ref.shape[1]
 
     L0s, L1s = [], []
     for g in groups:
-        L0s.append(
-            jnp.concatenate([_window_rows(C, S, pairs[w][0], P) for w in g], axis=0)
-        )
-        L1s.append(
-            jnp.concatenate([_window_rows(C, S, pairs[w][1], P) for w in g], axis=0)
-        )
+        L0s.append(jnp.concatenate([T6[pairs[w][0]] for w in g], axis=0))
+        L1s.append(jnp.concatenate([T6[pairs[w][1]] for w in g], axis=0))
     if singles:
-        Ls = jnp.concatenate([_window_rows(C, S, j, P) for j in singles], axis=0)
+        Ls = jnp.concatenate([T6[j] for j in singles], axis=0)
 
     for s in range(nsets):
         acc = jnp.zeros((1, B), jnp.float32)
         for gi in range(len(groups)):
             G = in_refs[s * len(groups) + gi][:, :]
-            Z = _dot(G, L1s[gi], (((1,), (0,)), ((), ())))   # (rows_g, B)
+            Z = _dot(G, L1s[gi], (((1,), (0,)), ((), ())), precision)
             acc += jnp.sum(L0s[gi] * Z, axis=0, keepdims=True)
         if singles:
             bvec = in_refs[n_g_in + s][:, :]                 # (rows1, 1)
@@ -202,11 +256,12 @@ def _forward_kernel(P, pairs, singles, groups, nsets, xT_ref, *refs):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("P", "pairs", "singles", "block", "interpret")
+    jax.jit,
+    static_argnames=("P", "pairs", "singles", "block", "interpret", "prec"),
 )
 def packed_forward(xT, G2_sets, G1_sets=None, *, P: int, pairs: tuple,
                    singles: tuple = (), block: int = 2048,
-                   interpret: bool = False):
+                   interpret: bool = False, prec: str = "highest"):
     """Folded forward for one or more weight sets sharing one phase pass.
 
     G2_sets: list (per weight set) of lists of (2P, 2P) combined block
@@ -221,33 +276,35 @@ def packed_forward(xT, G2_sets, G1_sets=None, *, P: int, pairs: tuple,
     xTp = jnp.zeros((Dtot, npad), dtype).at[:, :n].set(xT)
 
     groups = _group_windows(len(pairs), P)
-    W2 = 2 * P
+    WR = _wrows(P)
     nsets = len(G2_sets) if pairs else len(G1_sets)
 
     inputs = [xTp]
     in_specs = [pl.BlockSpec((Dtot, block), lambda i: (0, i))]
     for s in range(nsets):
         for g in groups:
-            rows = W2 * len(g)
+            rows = WR * len(g)
             Gd = jnp.zeros((rows, rows), dtype)
             for k, w in enumerate(g):
-                Gd = Gd.at[k * W2 : (k + 1) * W2, k * W2 : (k + 1) * W2].set(
-                    G2_sets[s][w]
+                Gd = Gd.at[k * WR : (k + 1) * WR, k * WR : (k + 1) * WR].set(
+                    _pad_G(G2_sets[s][w], P)
                 )
             inputs.append(Gd)
             in_specs.append(pl.BlockSpec((rows, rows), lambda i: (0, 0)))
     if singles:
         for s in range(nsets):
-            bv = jnp.concatenate([G1_sets[s][k] for k in range(len(singles))])
+            bv = jnp.concatenate(
+                [_pad_g1(G1_sets[s][k], P) for k in range(len(singles))]
+            )
             inputs.append(bv[:, None])
-            in_specs.append(pl.BlockSpec((W2 * len(singles), 1), lambda i: (0, 0)))
+            in_specs.append(pl.BlockSpec((WR * len(singles), 1), lambda i: (0, 0)))
 
     y_shapes = [jax.ShapeDtypeStruct((1, npad), dtype) for _ in range(nsets)]
     y_specs = [pl.BlockSpec((1, block), lambda i: (0, i)) for _ in range(nsets)]
 
     outs = pl.pallas_call(
         functools.partial(
-            _forward_kernel, P, pairs, singles, groups, nsets
+            _forward_kernel, P, pairs, singles, groups, nsets, prec
         ),
         grid=(nb,),
         in_specs=in_specs,

@@ -72,6 +72,102 @@ def eigencurve_rank(kind: str, params: KernelParams, X, key,
     return max(1, int(np.ceil(count * n / m)))
 
 
+def fill_distance_estimate(kind: str, params: KernelParams, X, key,
+                           nsample: int = 500, thresh_factor: float = 1.1,
+                           knee_tol: float = 0.41, knee_tol2: float = 0.2):
+    """Eigen-count + fill-distance-knee estimate on one random subsample.
+
+    Ref Nfft4GPRankestDefaultToleranceEstimation (rankest.c:30-128): FPS-order
+    a subsample recording the fill-distance curve, count kernel eigenvalues
+    above thresh_factor * noise, then walk the rank DOWN from the eigen count
+    until the fill-distance curve shows a knee — a relative jump > knee_tol
+    between consecutive fill distances, or the distance returning within
+    (1 + knee_tol2) of the eigen-count rank's distance.
+
+    Returns (est_rank, h): the refined rank and the learned fill-distance
+    tolerance h = dist[rank] used by the full-set FPS stage.
+    """
+    import numpy as np
+
+    n = X.shape[0]
+    m = min(nsample, n)
+    eigs, dists = _eig_dist_fn(kind, n, m)(X, params, key)
+    eigs = np.asarray(eigs)
+    dists = np.asarray(dists)
+    noise = float(params.f) ** 2 * float(params.mu)
+    rank = int(np.sum(eigs > thresh_factor * noise))
+    rank = max(rank, 1)
+    rank2 = rank - 1
+    # knee walk-down (rankest.c:103-112)
+    r = rank
+    while r > 1:
+        r -= 1
+        jump = (dists[r - 1] - dists[r]) / dists[r] if dists[r] > 0 else np.inf
+        if jump > knee_tol or dists[r] <= (1.0 + knee_tol2) * dists[rank2]:
+            break
+    h = float(dists[min(r, m - 1)])
+    return r + 1, h
+
+
+@functools.lru_cache(maxsize=None)
+def _eig_dist_fn(kind: str, n: int, m: int):
+    @jax.jit
+    def f(Xv, pv, kv):
+        idx = jax.random.choice(kv, n, (m,), replace=False)
+        Xs = Xv[idx]
+        res = fps(Xs, m)
+        K = kernel_matrix(kind, pv, Xs)
+        eigs = jnp.linalg.eigvalsh(K)
+        return eigs, res.dists
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _full_fps_fn(n: int, maxrank: int):
+    @jax.jit
+    def f(Xv):
+        res = fps(Xv, maxrank)
+        return res.perm, res.dists
+
+    return f
+
+
+def rankest_default(kind: str, params: KernelParams, X, key,
+                    cfg: RankestConfig = RankestConfig(), *,
+                    maxrank: int = 2000):
+    """Full eigen-curve rank estimation with fill-distance refinement.
+
+    Ref Nfft4GPRankestDefault (rankest.c:133-179): average the learned
+    fill-distance tolerance h over nsample_r subsample repeats; if the mean
+    estimated-rank fraction exceeds full_tol the data is "not low rank" (use
+    maxrank); otherwise run FPS on the FULL set and return the number of
+    landmarks whose fill distance is >= h.
+
+    Returns (rank, perm): rank (<= maxrank) and the full-set FPS landmark
+    prefix (maxrank,) whose first `rank` entries are the landmarks.
+    """
+    import numpy as np
+
+    n = X.shape[0]
+    m = min(cfg.nsample, n)
+    hs, est_total = [], 0
+    for _ in range(cfg.nsample_r):
+        key, sub = jax.random.split(key)
+        est, h = fill_distance_estimate(kind, params, X, sub, nsample=cfg.nsample)
+        hs.append(h)
+        est_total += est
+    h = float(np.mean(hs))
+    maxrank = min(maxrank, n)
+    perm, dists = _full_fps_fn(n, maxrank)(X)
+    if est_total / float(m * cfg.nsample_r) > cfg.full_tol:
+        return maxrank, np.asarray(perm)
+    dists = np.asarray(dists)
+    rank = int(np.sum(dists >= h))  # dists[0] = inf always counts
+    rank = int(np.clip(rank, 1, maxrank))
+    return rank, np.asarray(perm)
+
+
 @functools.lru_cache(maxsize=None)
 def _count_fn(kind: str, n: int, m: int, thresh_factor: float):
     """Module-level jit cache keyed on (kind, shapes): eager ops are per-op

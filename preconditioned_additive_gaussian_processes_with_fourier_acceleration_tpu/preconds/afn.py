@@ -192,21 +192,26 @@ def afn_plan(
     force_afn: bool = False,
 ) -> AfnPlan:
     """Rank estimation + FPS + pattern construction (afn_setup.m:58-78)."""
-    from ..ops.rankest import eigencurve_rank
+    from ..ops.rankest import rankest_default
 
     n = X.shape[0]
     if key is None:
         key = jax.random.PRNGKey(0)
+    fps_prefix = None
     if rank is None:
         # two-stage estimate (ref afn.c:182-243): scaled Nyström-error first;
         # if it says "not low rank" use maxrank (AFN path), otherwise refine
-        # with the eigen-curve estimate before deciding on the RAN fallback
+        # with the full eigen-curve + fill-distance-knee estimator, whose
+        # full-set FPS-with-learned-tolerance stage (rankest.c:133-179) also
+        # produces the landmark ordering we reuse below
         k1 = estimate_rank(kind, params, X, key, rankest_cfg)
         if k1 >= maxrank:
             rank = maxrank
         else:
-            k2 = eigencurve_rank(kind, params, X, key, nsample=rankest_cfg.nsample)
-            rank = min(max(k1, k2), maxrank)
+            rank, fps_prefix = rankest_default(
+                kind, params, X, key, rankest_cfg, maxrank=maxrank
+            )
+            rank = min(max(k1, rank), maxrank)
     k = min(rank, maxrank, n)
     use_ran = (k < maxrank) and not force_afn
     k = max(k, 1)
@@ -214,9 +219,14 @@ def afn_plan(
     # single jits with X as an argument: eager ops here are per-op compile
     # round-trips on the remote-compile TPU backend, and closure-captured
     # arrays would inline as MLIR constants
-    perm = np.asarray(
-        jax.jit(lambda Xv: expand_perm(fps(Xv, k).perm, n))(X)
-    )
+    if fps_prefix is not None:
+        perm = np.asarray(
+            jax.jit(lambda pv: expand_perm(pv[:k], n))(jnp.asarray(fps_prefix))
+        )
+    else:
+        perm = np.asarray(
+            jax.jit(lambda Xv: expand_perm(fps(Xv, k).perm, n))(X)
+        )
     if use_ran:
         pattern = (np.zeros((0, lfil), np.int32), np.zeros((0, lfil), bool))
     else:

@@ -58,11 +58,11 @@ def main():
         f = jax.jit(chain(mv))
         t0 = time.perf_counter()
         out = f(plan, v)
-        jax.block_until_ready(out)
+        np.asarray(out)
         tc = time.perf_counter() - t0
         t0 = time.perf_counter()
         out = f(plan, v)
-        jax.block_until_ready(out)
+        np.asarray(out)
         dt = (time.perf_counter() - t0) / ITERS
         print(f"{name:44s} {dt*1e6:9.1f} us/mv  {n/dt/1e6:8.1f} Mpts/s  (compile {tc:.1f}s)  finite={bool(jnp.isfinite(out).all())}", flush=True)
         return dt

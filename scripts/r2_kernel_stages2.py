@@ -37,10 +37,10 @@ def main():
         f = jax.jit(f)
         try:
             out = f(*args)
-            jax.block_until_ready(out)
+            np.asarray(jax.tree_util.tree_leaves(out)[0])
             t0 = time.perf_counter()
             out = f(*args)
-            jax.block_until_ready(out)
+            np.asarray(jax.tree_util.tree_leaves(out)[0])
             dt = (time.perf_counter() - t0) / ITERS
             print(f"{name:56s} {dt*1e6:9.1f} us/pass", flush=True)
         except Exception as e:

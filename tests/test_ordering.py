@@ -95,3 +95,50 @@ def test_io_readers(tmp_path):
     wpath.write_text("2 2\n0 1\n2 -1\n")
     W = read_windows(wpath)
     np.testing.assert_allclose(W, [[0, 2], [1, -1]])
+
+
+def test_rankest_default_fill_distance_stage():
+    """The full RankestDefault pipeline (rankest.c:133-179): eigen count +
+    fill-distance knee on subsamples, then full-set FPS with the learned
+    tolerance.  Fast-decay spectra must get smaller ranks than flat ones."""
+    import jax.numpy as jnp
+    from nfft4gp_tpu.ops.kernels import KernelParams
+    from nfft4gp_tpu.ops.rankest import rankest_default, fill_distance_estimate
+
+    rng = np.random.default_rng(19)
+    n = 400
+    X = jnp.asarray(rng.uniform(size=(n, 2)))
+    cfg = RankestConfig(nsample=120, nsample_r=2)
+
+    p_smooth = KernelParams.make(1.0, 0.8, 0.05)   # fast eigen decay
+    p_rough = KernelParams.make(1.0, 0.05, 1e-4)   # near-flat spectrum
+
+    k_s, perm_s = rankest_default("gaussian", p_smooth, X, jax.random.PRNGKey(1),
+                                  cfg, maxrank=200)
+    k_r, perm_r = rankest_default("gaussian", p_rough, X, jax.random.PRNGKey(1),
+                                  cfg, maxrank=200)
+    assert 1 <= k_s < k_r <= 200
+    # perm prefixes are valid distinct landmark ids
+    assert len(set(perm_s.tolist())) == len(perm_s)
+
+    est, h = fill_distance_estimate("gaussian", p_smooth, X, jax.random.PRNGKey(2),
+                                    nsample=120)
+    assert est >= 1 and h > 0.0
+    # flat spectrum -> "not low rank" branch returns maxrank
+    assert k_r == 200 or k_r > 3 * k_s
+
+
+def test_afn_plan_uses_fill_distance_rank():
+    """afn_plan's refinement path goes through rankest_default now."""
+    import jax.numpy as jnp
+    from nfft4gp_tpu.ops.kernels import KernelParams
+    from nfft4gp_tpu.preconds.afn import afn_plan
+
+    rng = np.random.default_rng(23)
+    n = 300
+    X = jnp.asarray(rng.uniform(size=(n, 2)))
+    p = KernelParams.make(1.0, 0.6, 0.05)
+    plan = afn_plan("gaussian", p, X, maxrank=150, lfil=8)
+    assert 1 <= plan.k <= 150
+    assert plan.use_ran  # smooth kernel at n=300 is low rank
+    assert sorted(plan.perm.tolist()) == list(range(n))
