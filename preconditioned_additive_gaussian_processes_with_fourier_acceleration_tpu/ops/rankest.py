@@ -186,6 +186,23 @@ def _count_fn(kind: str, n: int, m: int, thresh_factor: float):
     return count
 
 
+@functools.lru_cache(maxsize=None)
+def _curve_fn(kind: str, n: int, m: int, d: int):
+    """Module-level jit cache (like _count_fn): a per-call @jax.jit closure
+    re-traces on EVERY estimate_rank invocation (ADVICE r1/r2)."""
+    scale = (m / n) ** (1.0 / d)
+    ranks = jnp.arange(1, m + 1)
+
+    @jax.jit
+    def curve_fn(Xv, pv, kv):
+        idx = jax.random.choice(kv, n, (m,), replace=False)
+        Xs = Xv[idx] * scale
+        order = fps(Xs, m).perm
+        return nystrom_error_curve(kind, pv, Xs[order], ranks)
+
+    return curve_fn
+
+
 def estimate_rank(
     kind: str,
     params: KernelParams,
@@ -201,19 +218,7 @@ def estimate_rank(
 
     n, d = X.shape
     m = min(cfg.nsample, n)
-    scale = (m / n) ** (1.0 / d)
-
-    ranks = jnp.arange(1, m + 1)
-
-    # One jitted graph per (shape, kind), reused across the nsample_r
-    # repeats: the subsample + FPS + error-curve pipeline as eager ops is
-    # dozens of per-op compile round-trips on the remote-compile backend.
-    @jax.jit
-    def curve_fn(Xv, pv, kv):
-        idx = jax.random.choice(kv, n, (m,), replace=False)
-        Xs = Xv[idx] * scale
-        order = fps(Xs, m).perm
-        return nystrom_error_curve(kind, pv, Xs[order], ranks)
+    curve_fn = _curve_fn(kind, n, m, d)
 
     ests = []
     for r in range(cfg.nsample_r):

@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .reductions import comp_gemv, make_reducers
+
 
 class FgmresResult(NamedTuple):
     x: jnp.ndarray
@@ -26,21 +28,24 @@ class FgmresResult(NamedTuple):
     converged: jnp.ndarray
 
 
-def _cgs2(w, V):
+def _cgs2(w, V, compensated: bool = False, norm_fn=jnp.linalg.norm):
     """Two-pass classical Gram-Schmidt of w against the rows of V.
 
     Rows of V past the current Arnoldi step are zero, so they contribute
     nothing — no masking or sequential loop needed.  Two batched GEMVs per
     pass replace the reference's sequential MGS + selective re-orth
     (matops.c:274-346): CGS2 has the same stability and maps to the MXU.
+    compensated=True uses TwoSum-accumulated GEMVs for the projection
+    coefficients (f64 accumulation parity at f32, see reductions.py).
     Returns (w_orth, h, ||w_orth||).
     """
     hp = lambda a, b: jnp.matmul(a, b, precision="highest")
-    h1 = hp(V, w)
+    proj = (lambda V_, w_: comp_gemv(V_, w_)) if compensated else hp
+    h1 = proj(V, w)
     w = w - hp(h1, V)
-    h2 = hp(V, w)
+    h2 = proj(V, w)
     w = w - hp(h2, V)
-    return w, h1 + h2, jnp.linalg.norm(w)
+    return w, h1 + h2, norm_fn(w)
 
 
 def fgmres(
@@ -53,15 +58,19 @@ def fgmres(
     maxits: Optional[int] = None,
     tol: float = 1e-8,
     atol: bool = False,
+    compensated: bool = False,
 ) -> FgmresResult:
+    """compensated=True: TwoSum float-float accumulation in norms and
+    Gram-Schmidt projections (reference f64 semantics at f32; reductions.py)."""
     n = b.shape[0]
     dtype = b.dtype
     x0 = jnp.zeros_like(b) if x0 is None else x0
     psolve = precond if precond is not None else (lambda r: r)
     maxits = kdim if maxits is None else maxits
     n_cycles = -(-maxits // kdim)  # ceil
+    dot_fn, norm_fn = make_reducers(compensated)
 
-    normb = jnp.linalg.norm(b)
+    normb = norm_fn(b)
     safe_normb = jnp.where(normb == 0, 1.0, normb)
     tolb = jnp.where(jnp.asarray(atol), tol, tol * normb)
 
@@ -70,7 +79,7 @@ def fgmres(
     def cycle(carry):
         x, total_it, hist, stop = carry
         r = b - matvec(x)
-        beta = jnp.linalg.norm(r)
+        beta = norm_fn(r)
         hist = hist.at[total_it].set(beta / safe_normb)
         safe_beta = jnp.where(beta == 0, 1.0, beta)
 
@@ -91,7 +100,7 @@ def fgmres(
             zj = psolve(V[j])
             Z = Z.at[j].set(zj)
             w = matvec(zj)
-            w, h, t = _cgs2(w, V)
+            w, h, t = _cgs2(w, V, compensated, norm_fn)
             h = h.at[j + 1].set(t)
             lucky = t <= jnp.finfo(dtype).eps * safe_normb
             safe_t = jnp.where(t == 0, 1.0, t)
@@ -160,7 +169,7 @@ def fgmres(
     x, total_it, hist, stop = lax.fori_loop(0, n_cycles, outer_body, carry)
 
     r = b - matvec(x)
-    relres = jnp.linalg.norm(r) / safe_normb
+    relres = norm_fn(r) / safe_normb
     return FgmresResult(
         x=x,
         relres=relres,

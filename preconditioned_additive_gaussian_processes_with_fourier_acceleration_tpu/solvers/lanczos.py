@@ -217,16 +217,34 @@ def slq_logdet(
 
     def one_probe(z):
         res = lanczos(matvec, z, precond=psolve, maxits=maxits, tol=0.0)
-        # quadrature on the tridiagonal: tiny dense eigh (maxits x maxits)
-        T = jnp.diag(res.alpha)
+        # NaN-trim: keep only the leading finite block of the tridiagonal
+        # before quadrature (ref lanczos.c:526-548 trims T and dumps
+        # diagnostics when the recursion blows up).  Trimmed diagonal
+        # entries pad with 1 (log|1| = 0 contributes nothing).
+        idx = jnp.arange(maxits)
+        bad_a = jnp.logical_not(jnp.isfinite(res.alpha))
+        keep = jnp.min(jnp.where(bad_a, idx, maxits))
+        alpha = jnp.where(idx < keep, res.alpha, 1.0)
         if maxits > 1:
-            T = T + jnp.diag(res.beta, 1) + jnp.diag(res.beta, -1)
+            eidx = jnp.arange(maxits - 1)
+            bad_b = jnp.logical_not(jnp.isfinite(res.beta))
+            keep = jnp.minimum(keep, jnp.min(jnp.where(bad_b, eidx + 1, maxits)))
+            alpha = jnp.where(idx < keep, res.alpha, 1.0)
+            beta = jnp.where(eidx < keep - 1, res.beta, 0.0)
+        # quadrature on the tridiagonal: tiny dense eigh (maxits x maxits)
+        T = jnp.diag(alpha)
+        if maxits > 1:
+            T = T + jnp.diag(beta, 1) + jnp.diag(beta, -1)
         theta, vecs = jnp.linalg.eigh(T)
         w = vecs[0, :] ** 2
         val = jnp.sum(w * jnp.log(jnp.abs(theta)))
 
         dAz = dmatvec(z)                       # (p, n)
-        dval = dAz @ res.x                     # (p,)
+        # sanitize the Lanczos solve the same way: a blown-up recursion
+        # yields NaN x; zeroing keeps the trace estimate finite (degraded,
+        # like the reference's trimmed quadrature).
+        x = jnp.where(jnp.isfinite(res.x), res.x, 0.0)
+        dval = dAz @ x                         # (p,)
         if precond is not None:
             pz = precond.dvp(z)                # (p, n) = M^{-1} dM_i z
             dval = dval - pz @ z

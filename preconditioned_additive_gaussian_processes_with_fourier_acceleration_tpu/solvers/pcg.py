@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .reductions import make_reducers
+
 
 class PcgResult(NamedTuple):
     x: jnp.ndarray
@@ -34,19 +36,24 @@ def pcg(
     tol: float = 1e-8,
     atol: bool = False,
     maxits: int = 100,
+    compensated: bool = False,
 ) -> PcgResult:
+    """compensated=True: TwoSum float-float dot/norm accumulation — restores
+    the reference's f64 reduction semantics on f32 TPUs (see reductions.py);
+    needed for deep tolerances at N ~ 1e6."""
     n = b.shape[0]
     dtype = b.dtype
     x0 = jnp.zeros_like(b) if x0 is None else x0
     psolve = precond if precond is not None else (lambda r: r)
+    dot_fn, norm_fn = make_reducers(compensated)
 
-    normb = jnp.linalg.norm(b)
+    normb = norm_fn(b)
     # tolb: absolute threshold on ||r|| (ref pcg.c:41-52)
     tolb = jnp.where(jnp.asarray(atol), tol, tol * normb)
     safe_normb = jnp.where(normb == 0, 1.0, normb)
 
     r0 = b - matvec(x0)
-    normr0 = jnp.linalg.norm(r0)
+    normr0 = norm_fn(r0)
 
     hist0 = jnp.full((maxits + 1,), jnp.nan, dtype=dtype)
     hist0 = hist0.at[0].set(normr0 / safe_normb)
@@ -58,17 +65,17 @@ def pcg(
     def body(state):
         x, r, p, rho_prev, it, normr, hist, stop = state
         z = psolve(r)
-        rho = jnp.vdot(z, r)
+        rho = dot_fn(z, r)
         first = it == 0
         beta = jnp.where(first, 0.0, rho / jnp.where(rho_prev == 0, 1.0, rho_prev))
         p = jnp.where(first, z, z + beta * p)
         q = matvec(p)
-        pq = jnp.vdot(p, q)
+        pq = dot_fn(p, q)
         breakdown = jnp.logical_or(rho == 0.0, pq <= 0.0)
         alpha = jnp.where(breakdown, 0.0, rho / jnp.where(pq == 0, 1.0, pq))
         x = x + alpha * p
         r = r - alpha * q
-        normr = jnp.linalg.norm(r)
+        normr = norm_fn(r)
         it = it + 1
         hist = hist.at[it].set(normr / safe_normb)
 
@@ -76,7 +83,7 @@ def pcg(
         def recheck(args):
             x, r, normr, hist = args
             rt = b - matvec(x)
-            normrt = jnp.linalg.norm(rt)
+            normrt = norm_fn(rt)
             hist = hist.at[it].set(normrt / safe_normb)
             return x, rt, normrt, hist
 

@@ -140,3 +140,82 @@ def test_pcg_residual_history(problem):
     assert np.isfinite(h[: it + 1]).all()
     assert h[0] == pytest.approx(1.0)
     assert h[it] < 1e-8 * 10
+
+
+def test_slq_nan_trim(problem):
+    """A blow-up matvec must still give a finite SLQ estimate.
+
+    Ref lanczos.c:526-548: the reference trims the tridiagonal to its
+    leading finite block before quadrature when the recursion produces
+    NaN/inf; the trimmed estimate degrades gracefully instead of
+    poisoning the loss.
+    """
+    X, p, K, dK, b = problem
+    n = K.shape[0]
+
+    def blowup_matvec(x):
+        # overflow to +-inf; the Gram-Schmidt inf*0 sums then produce NaN
+        return (K @ x) * jnp.inf
+
+    # guard: the raw recursion really does blow up (otherwise this test
+    # would pass vacuously through the existing breakdown guards)
+    raw = lanczos(blowup_matvec, b, maxits=12, tol=0.0)
+    assert not bool(jnp.isfinite(raw.alpha).all())
+
+    probes = rademacher_probes(jax.random.PRNGKey(7), 4, n)
+    res = slq_logdet(
+        blowup_matvec,
+        lambda x: jnp.einsum("knm,m->kn", dK, x),
+        probes,
+        maxits=12,
+    )
+    assert np.isfinite(float(res.logdet))
+    assert np.isfinite(np.asarray(res.dlogdet)).all()
+
+
+def test_compensated_reductions_f32():
+    """TwoSum float-float accumulation recovers what single-f32 loses.
+
+    Cross-chunk cancellation at the 2^24 f32 integer limit: a plain f32
+    accumulator absorbs the small chunk sums into the big ones; the
+    compensated scan keeps them exactly (ref: the C library's f64 dot
+    semantics, SRC/utils/utils.h:28-32).
+    """
+    from nfft4gp_tpu.solvers.reductions import comp_dot, comp_norm, comp_sum
+
+    chunk = 128
+    big = np.float32(2.0**24)
+    blocks = [np.zeros(chunk, np.float32) for _ in range(10)]
+    blocks[0][0] = big
+    for blk in blocks[1:-1]:
+        blk[0] = 1.0
+    blocks[-1][0] = -big
+    x = jnp.asarray(np.concatenate(blocks))
+
+    s = float(comp_sum(x, chunk=chunk))
+    assert s == 8.0  # exactly: eight interior chunks of 1.0
+
+    # sanity on random data vs f64 oracle
+    rng = np.random.default_rng(3)
+    a64 = rng.normal(size=100_000) + 0.3
+    b64 = rng.normal(size=100_000) + 0.1
+    a = jnp.asarray(a64, jnp.float32)
+    b = jnp.asarray(b64, jnp.float32)
+    ref = float(np.dot(np.asarray(a, np.float64), np.asarray(b, np.float64)))
+    got = float(comp_dot(a, b))
+    assert abs(got - ref) / abs(ref) < 5e-6
+    refn = float(np.linalg.norm(np.asarray(a, np.float64)))
+    assert abs(float(comp_norm(a)) - refn) / refn < 5e-6
+
+
+def test_solvers_compensated_path(problem):
+    """compensated=True must converge identically on a benign problem."""
+    X, p, K, dK, b = problem
+    res = pcg(lambda x: K @ x, b, tol=1e-10, maxits=300, compensated=True)
+    assert float(res.relres) < 1e-9
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.asarray(jnp.linalg.solve(K, b)), rtol=1e-6
+    )
+    resf = fgmres(lambda x: K @ x, b, kdim=60, maxits=120, tol=1e-10,
+                  compensated=True)
+    assert float(resf.relres) < 1e-9
