@@ -39,6 +39,10 @@ def build_argparser():
     ap.add_argument("--rank", type=int, default=50)
     ap.add_argument("--lfil", type=int, default=20)
     ap.add_argument("--fastsum-N", type=int, default=32)
+    ap.add_argument("--fastsum-oversample", type=int, default=2)
+    ap.add_argument("--fastsum-nearfield-lfil", type=int, default=None,
+                    help="sparse near-field correction size; default auto "
+                    "(16 for matern12, 0 otherwise)")
     ap.add_argument("--fastsum-table-dtype", default=None,
                     choices=["bfloat16"],
                     help="narrow NDFT phase tables during training "
@@ -101,6 +105,8 @@ def main(argv=None):
         nvecs=args.learn_nvecs,
         fastsum_N=args.fastsum_N,
         fastsum_table_dtype=args.fastsum_table_dtype,
+        fastsum_oversample=args.fastsum_oversample,
+        fastsum_nearfield_lfil=args.fastsum_nearfield_lfil,
     )
 
     print(f"n_train={Xtr.shape[0]} n_test={Xte.shape[0]} d={Xtr.shape[1]} "

@@ -233,6 +233,8 @@ def gp_predict_fastsum(
     precond_setup: Optional[Callable] = None,
     with_std: bool = False,
     maxits: Optional[int] = None,
+    oversample: int = 2,
+    nearfield_lfil: int = 0,
 ) -> GPPredictResult:
     """Fourier-accelerated GP prediction via a joint train+test plan.
 
@@ -250,18 +252,19 @@ def gp_predict_fastsum(
     params = KernelParams(f=tvals[0], l=tvals[1], mu=tvals[2])
 
     X_all = jnp.concatenate([X, X_test], axis=0)
+    fsopts = dict(oversample=oversample, nearfield_lfil=nearfield_lfil)
     if windows is not None:
         geom_tr = fs.additive_fastsum_geometry(X, windows, N=fastsum_N)
         geom_all = fs.additive_fastsum_geometry(X_all, windows, N=fastsum_N)
-        plan_tr = fs.additive_fastsum_coeffs(cfg.kind, params, geom_tr)
-        plan_all = fs.additive_fastsum_coeffs(cfg.kind, params, geom_all)
+        plan_tr = fs.additive_fastsum_coeffs(cfg.kind, params, geom_tr, **fsopts)
+        plan_all = fs.additive_fastsum_coeffs(cfg.kind, params, geom_all, **fsopts)
         mv_tr = lambda v: fs.additive_fastsum_matvec(plan_tr, v)
         mv_all = lambda v: fs.additive_fastsum_matvec(plan_all, v)
     else:
         geom_tr = fs.fastsum_geometry(X, N=fastsum_N)
         geom_all = fs.fastsum_geometry(X_all, N=fastsum_N)
-        plan_tr = fs.fastsum_coeffs(cfg.kind, params, geom_tr)
-        plan_all = fs.fastsum_coeffs(cfg.kind, params, geom_all)
+        plan_tr = fs.fastsum_coeffs(cfg.kind, params, geom_tr, **fsopts)
+        plan_all = fs.fastsum_coeffs(cfg.kind, params, geom_all, **fsopts)
         mv_tr = lambda v: fs.fastsum_matvec(plan_tr, v)
         mv_all = lambda v: fs.fastsum_matvec(plan_all, v)
 

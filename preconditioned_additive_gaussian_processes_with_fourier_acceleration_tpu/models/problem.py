@@ -52,7 +52,10 @@ class GPProblem:
     fastsum_table_dtype: Optional[str] = None  # 'bfloat16' = training speed
     # mode (~1e-2 operator accuracy, ~1.8x matvec rate); predict stays f32
     fastsum_oversample: int = 2        # coefficient-grid oversampling (NN=2N)
-    fastsum_nearfield_lfil: int = 0    # sparse near-field correction (eps_I)
+    fastsum_nearfield_lfil: Optional[int] = None  # sparse near-field correction
+    # (the eps_I role).  None = auto: 16 for matern12 (whose kink makes the
+    # pure Fourier operator ~4e-2 inaccurate at N=32 — the reference's
+    # fastsum regularization is always-on, nfft_interface.c:18-27), else 0.
     fastsum_fused: bool = False        # packed Pallas fused-phase matvecs
     # (TPU only; phases regenerated in VMEM instead of HBM tables)
     seed: int = 0
@@ -64,6 +67,11 @@ class GPProblem:
 
     def _windows_arr(self):
         return make_windows(self.windows) if self.windows is not None else None
+
+    def _nf_lfil(self):
+        if self.fastsum_nearfield_lfil is None:
+            return 16 if self.kernel == "matern12" else 0
+        return self.fastsum_nearfield_lfil
 
     def _cfg(self):
         return GPConfig(
@@ -86,12 +94,23 @@ class GPProblem:
                     Xv, warr, N=self.fastsum_N, table_dtype=tdt
                 )
             )(X)
+            # the KNN patterns are params-independent: compute once per
+            # dataset, not per loss eval (the correction VALUES still
+            # refresh with params inside build)
+            nf_pats = None
+            if self._nf_lfil() > 0:
+                nf_pats = jax.jit(
+                    lambda g: fs.additive_nearfield_patterns(
+                        self.kernel, g, self._nf_lfil()
+                    )
+                )(geom)
 
             def build(params):
                 plan = fs.additive_fastsum_coeffs(
                     self.kernel, params, geom,
                     oversample=self.fastsum_oversample,
-                    nearfield_lfil=self.fastsum_nearfield_lfil,
+                    nearfield_lfil=self._nf_lfil(),
+                    nf_patterns=nf_pats,
                 )
                 if self.fastsum_fused:
                     return (
@@ -107,12 +126,18 @@ class GPProblem:
         geom = jax.jit(
             lambda Xv: fs.fastsum_geometry(Xv, self.fastsum_N, table_dtype=tdt)
         )(X)
+        nf_pat = None
+        if self._nf_lfil() > 0:
+            nf_pat = jax.jit(
+                lambda g: fs.nearfield_patterns(self.kernel, g, self._nf_lfil())
+            )(geom)
 
         def build(params):
             plan = fs.fastsum_coeffs(
                 self.kernel, params, geom,
                 oversample=self.fastsum_oversample,
-                nearfield_lfil=self.fastsum_nearfield_lfil,
+                nearfield_lfil=self._nf_lfil(),
+                nf_pattern=nf_pat,
             )
             return (
                 lambda v: fs.fastsum_matvec(plan, v),
@@ -259,6 +284,8 @@ class GPProblem:
                 windows=self._windows_arr(), fastsum_N=self.fastsum_N,
                 precond_setup=psetup, with_std=with_std,
                 maxits=maxits or 2 * self.maxits * 10,
+                oversample=self.fastsum_oversample,
+                nearfield_lfil=self._nf_lfil(),
             )
         else:
             res = gp_predict(

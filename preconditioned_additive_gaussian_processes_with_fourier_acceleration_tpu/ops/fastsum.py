@@ -248,7 +248,7 @@ def trigpoly_eval(b, D):
 
 
 def nearfield_correction(kind: str, params: KernelParams, geom: FastsumGeometry,
-                         b, db_l, lfil: int):
+                         b, db_l, lfil: int, pattern=None):
     """Sparse correction phi_exact - phi_fourier on a KNN pattern.
 
     The fastsum analog of NFFT3's eps_I nearfield sum: the Fourier operator's
@@ -257,11 +257,16 @@ def nearfield_correction(kind: str, params: KernelParams, geom: FastsumGeometry,
     diagonal, slot lfil-1) recovers most of the truncation error for
     non-smooth kernels.  Returns (idx, val, dval); apply symmetrically with
     nearfield_matvec.
+
+    pattern: optional precomputed (idx, mask) from knn_pattern — the pattern
+    is params-INDEPENDENT, so training loops should compute it once per
+    dataset (see nearfield_patterns / additive_nearfield_patterns) instead
+    of per loss eval.
     """
     from .knn import knn_pattern
 
     x = geom.x
-    idx, mask = knn_pattern(x, lfil)
+    idx, mask = pattern if pattern is not None else knn_pattern(x, lfil)
     D = x[:, None, :] - x[idx]                       # (n, lfil, d)
     r2s = jnp.sum(D * D, axis=2)
     r2_true = r2s / (geom.scale * geom.scale)
@@ -285,9 +290,55 @@ def nearfield_matvec(idx, val, x):
     )
 
 
+def nearfield_patterns(kind: str, geom: FastsumGeometry,
+                       nearfield_lfil=None):
+    """Precompute the params-independent KNN pattern for a single plan."""
+    from .knn import knn_pattern
+
+    lfil = _resolve_nf_lfil(kind, nearfield_lfil, geom.x.shape[0], geom.d)
+    return knn_pattern(geom.x, lfil) if lfil > 0 else None
+
+
+def additive_nearfield_patterns(kind: str, geom, nearfield_lfil=None):
+    """Per-group batched KNN patterns for an AdditiveFastsumGeometry.
+
+    Returns a tuple (one entry per geometry group) of None or batched
+    (idx, mask) arrays of shape (Wg, n, lfil) — pass to
+    additive_fastsum_coeffs(nf_patterns=...) so training loops do the
+    O(n^2)-blocked KNN once per dataset, not per loss eval.
+    """
+    from .knn import knn_pattern
+
+    pats = []
+    for dw, order, bg in geom.groups:
+        n = bg.x.shape[1]
+        d = bg.x.shape[2]
+        lfil = _resolve_nf_lfil(kind, nearfield_lfil, n, d)
+        if lfil == 0:
+            pats.append(None)
+        else:
+            pats.append(jax.vmap(lambda xw: knn_pattern(xw, lfil))(bg.x))
+    return tuple(pats)
+
+
+def _resolve_nf_lfil(kind: str, nearfield_lfil, n: int, d: int) -> int:
+    """None = auto: near-field size for matern12, else 0.  The matern12 kink
+    makes the pure Fourier operator ~4e-2 inaccurate at N=32; the reference's
+    fastsum near-field regularization is always-on (nfft_interface.c:18-27),
+    so the corrected operator is the DEFAULT for the non-smooth kernel.
+
+    The kink-error width is ~1/N in scaled coordinates; in 1-D that radius
+    holds ~4x more uniform neighbors than in 2-D/3-D at equal n (measured:
+    d=1 needs lfil 64 where d=2 needs 16 to cross below 1e-2 rel error)."""
+    if nearfield_lfil is None:
+        nearfield_lfil = (64 if d == 1 else 16) if kind == "matern12" else 0
+    return min(int(nearfield_lfil), n)
+
+
 def fastsum_coeffs(kind: str, params: KernelParams, geom: FastsumGeometry,
                    *, psd_clip: bool = False, oversample: int = 2,
-                   nearfield_lfil: int = 0) -> FastsumPlan:
+                   nearfield_lfil: Optional[int] = None,
+                   nf_pattern=None) -> FastsumPlan:
     """Sample the (scaled) kernel on an OVERSAMPLED torus grid, FFT, and
     truncate to the central N modes — per params.
 
@@ -332,9 +383,10 @@ def fastsum_coeffs(kind: str, params: KernelParams, geom: FastsumGeometry,
         b = jnp.maximum(b, 0.0)
     db_l = coeffs(dk_dl_samp)
     nf_idx = nf_val = nf_dval = None
-    if nearfield_lfil > 0:
+    nearfield_lfil = _resolve_nf_lfil(kind, nearfield_lfil, geom.x.shape[0], geom.d)
+    if nearfield_lfil > 0 or nf_pattern is not None:
         nf_idx, nf_val, nf_dval = nearfield_correction(
-            kind, params, geom, b, db_l, nearfield_lfil
+            kind, params, geom, b, db_l, nearfield_lfil, pattern=nf_pattern
         )
     return FastsumPlan(
         N=N, d=d, kind=kind, geom=geom, b=b, db_l=db_l,
@@ -345,7 +397,8 @@ def fastsum_coeffs(kind: str, params: KernelParams, geom: FastsumGeometry,
 
 def fastsum_build(kind: str, params: KernelParams, X, N: int = 32,
                   *, psd_clip: bool = False, table_dtype=None,
-                  oversample: int = 2, nearfield_lfil: int = 0) -> FastsumPlan:
+                  oversample: int = 2,
+                  nearfield_lfil: Optional[int] = None) -> FastsumPlan:
     return fastsum_coeffs(
         kind, params, fastsum_geometry(X, N, table_dtype=table_dtype),
         psd_clip=psd_clip, oversample=oversample, nearfield_lfil=nearfield_lfil,
@@ -627,22 +680,35 @@ class AdditiveFastsumPlan(NamedTuple):
 
 def additive_fastsum_coeffs(
     kind: str, params: KernelParams, geom: AdditiveFastsumGeometry,
-    *, psd_clip: bool = False, oversample: int = 2, nearfield_lfil: int = 0,
+    *, psd_clip: bool = False, oversample: int = 2,
+    nearfield_lfil: Optional[int] = None,
+    nf_patterns=None,
 ) -> AdditiveFastsumPlan:
+    """nf_patterns: optional additive_nearfield_patterns() output — reuses
+    the params-independent KNN patterns across loss evals."""
     plan_groups = []
-    for dw, order, bg in geom.groups:
-        plans = jax.vmap(
-            lambda g: fastsum_coeffs(kind, params, g, psd_clip=psd_clip,
-                                     oversample=oversample,
-                                     nearfield_lfil=nearfield_lfil)
-        )(bg)
+    for gi, (dw, order, bg) in enumerate(geom.groups):
+        pat = nf_patterns[gi] if nf_patterns is not None else None
+        if pat is None:
+            plans = jax.vmap(
+                lambda g: fastsum_coeffs(kind, params, g, psd_clip=psd_clip,
+                                         oversample=oversample,
+                                         nearfield_lfil=nearfield_lfil)
+            )(bg)
+        else:
+            plans = jax.vmap(
+                lambda g, pi, pm: fastsum_coeffs(
+                    kind, params, g, psd_clip=psd_clip, oversample=oversample,
+                    nearfield_lfil=nearfield_lfil, nf_pattern=(pi, pm),
+                )
+            )(bg, pat[0], pat[1])
         plan_groups.append((dw, order, plans))
     return AdditiveFastsumPlan(n_windows=geom.n_windows, groups=tuple(plan_groups), params=params)
 
 
 def additive_fastsum_build(kind, params, X, windows, N: int = 32,
                            *, psd_clip: bool = False, table_dtype=None,
-                           oversample: int = 2, nearfield_lfil: int = 0):
+                           oversample: int = 2, nearfield_lfil=None):
     return additive_fastsum_coeffs(
         kind, params,
         additive_fastsum_geometry(X, windows, N, table_dtype=table_dtype),

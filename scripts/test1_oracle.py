@@ -25,6 +25,10 @@ def main():
     ap.add_argument("--f", type=float, default=1.0)
     ap.add_argument("--l", type=float, default=0.25)
     ap.add_argument("--mu", type=float, default=0.05)
+    ap.add_argument("--nearfield-lfil", type=int, default=None,
+                    help="near-field correction size (default auto: on for "
+                    "matern12, matching the reference's always-on fastsum "
+                    "regularization)")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--x64", action="store_true")
     args = ap.parse_args()
@@ -67,7 +71,10 @@ def main():
     dy_exact = jnp.einsum("knm,m->kn", dK, x)
 
     plan = jax.jit(
-        lambda Xv: additive_fastsum_build(args.kernel, p, Xv, windows, N=args.N)
+        lambda Xv: additive_fastsum_build(
+            args.kernel, p, Xv, windows, N=args.N,
+            nearfield_lfil=args.nearfield_lfil,
+        )
     )(X)
     y_fast = jax.jit(additive_fastsum_matvec)(plan, x)
     dy_fast = jax.jit(additive_fastsum_grad_matvec)(plan, x)
@@ -87,6 +94,16 @@ def main():
     report("K@x", y_fast, y_exact)
     for j, nm in enumerate(["dK/df@x", "dK/dl@x", "dK/dmu@x"]):
         report(nm, dy_fast[j], dy_exact[j])
+
+    if args.kernel == "matern12" and args.nearfield_lfil is None:
+        # extra oracle row: the uncorrected pure-Fourier operator, so the
+        # default near-field correction's gain is visible in one run
+        plan0 = jax.jit(
+            lambda Xv: additive_fastsum_build(
+                args.kernel, p, Xv, windows, N=args.N, nearfield_lfil=0
+            )
+        )(X)
+        report("K@x nf=0", jax.jit(additive_fastsum_matvec)(plan0, x), y_exact)
 
 
 if __name__ == "__main__":

@@ -34,7 +34,11 @@ def rel_err(a, b):
 
 
 @pytest.mark.parametrize(
-    "kind,tol", [("gaussian", 1e-4), ("matern32", 5e-3), ("matern12", 4.5e-2)]
+    # matern12's DEFAULT build now auto-enables the sparse near-field
+    # correction (the reference's always-on fastsum regularization role,
+    # nfft_interface.c:18-27), so its default-path tolerance tightens from
+    # the round-2 4.5e-2 to 1e-2 (VERDICT r2 #4).
+    "kind,tol", [("gaussian", 1e-4), ("matern32", 5e-3), ("matern12", 1e-2)]
 )
 @pytest.mark.parametrize("d", [1, 2])
 def test_fastsum_matvec_vs_dense(kind, tol, d):
@@ -222,9 +226,13 @@ def test_additive_fastsum_nearfield():
     windows = make_windows([[0, 1], [2, 3]])
     K = additive_kernel_matrix("matern12", p, X, windows)
     x = jnp.asarray(rng.normal(size=(n,)))
+    # nearfield_lfil=0 disables the (now default-on for matern12) correction
     e0 = rel_err(
         additive_fastsum_matvec(
-            additive_fastsum_build("matern12", p, X, windows, N=32), x
+            additive_fastsum_build(
+                "matern12", p, X, windows, N=32, nearfield_lfil=0
+            ),
+            x,
         ),
         K @ x,
     )
@@ -239,3 +247,28 @@ def test_additive_fastsum_nearfield():
     )
     assert e1 < 0.5 * e0
     assert e1 < 5e-3
+
+
+def test_nearfield_pattern_precompute_matches():
+    """Precomputed KNN patterns give identical plans to the inline path."""
+    from nfft4gp_tpu.ops.fastsum import (
+        additive_fastsum_coeffs,
+        additive_fastsum_geometry,
+        additive_nearfield_patterns,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 150
+    X = jnp.asarray(rng.uniform(size=(n, 4)))
+    p = KernelParams.make(1.0, 0.3, 0.05)
+    windows = make_windows([[0], [1, 2], [2, 3]])
+    geom = additive_fastsum_geometry(X, windows, N=16)
+    pats = additive_nearfield_patterns("matern12", geom)
+    x = jnp.asarray(rng.normal(size=(n,)))
+    y_inline = additive_fastsum_matvec(
+        additive_fastsum_coeffs("matern12", p, geom), x
+    )
+    y_pre = additive_fastsum_matvec(
+        additive_fastsum_coeffs("matern12", p, geom, nf_patterns=pats), x
+    )
+    np.testing.assert_allclose(np.asarray(y_pre), np.asarray(y_inline), rtol=1e-12)
