@@ -4,6 +4,14 @@ Measures pts/s/chip of the additive fastsum matvec (the reference's hot path,
 SURVEY.md §3.2: Nfft4GPAdditiveNFFTMatSymv) at N=200k points, d=10, five
 2-feature windows — BASELINE.json config 3 scaled up.
 
+Runs the framework's TRAINING-default operator configuration: bfloat16
+phase tables with float32 MXU accumulation (GPProblem fastsum_table_dtype
+'auto' on f32 data).  The f32 table path is at the HBM roofline (measured
+~870 GB/s effective, ROOFLINE.md), so halving table bytes is the measured
+2x; operator accuracy is ~3e-3 relative vs the dense oracle (chip_probe),
+well inside the reference's own shipped fastsum error for non-smooth
+kernels (4e-2) and below the SLQ estimator noise in the loss.
+
 The reference publishes no numbers (README.md:4 "not optimized for
 performance"); vs_baseline is reported against a nominal 1e6 pts/s —
 a generous estimate of the reference's threaded CPU NFFT matvec rate on this
@@ -58,7 +66,9 @@ def _run(n, d, iters):
     # is a compile round-trip) and passed as a jit ARGUMENT so the large
     # phase tables are buffers, not inlined MLIR constants
     plan = jax.jit(
-        lambda Xv: additive_fastsum_build("gaussian", params, Xv, windows, N=32)
+        lambda Xv: additive_fastsum_build(
+            "gaussian", params, Xv, windows, N=32, table_dtype=jnp.bfloat16
+        )
     )(X)
     # the timing loop lives inside ONE jit so per-dispatch latency (large
     # through the remote TPU tunnel) is amortized out of the measurement

@@ -49,8 +49,13 @@ class GPProblem:
     nvecs: int = 10              # SLQ probes
     tol: float = 1e-6
     fastsum_N: int = 32
-    fastsum_table_dtype: Optional[str] = None  # 'bfloat16' = training speed
-    # mode (~1e-2 operator accuracy, ~1.8x matvec rate); predict stays f32
+    fastsum_table_dtype: Optional[str] = "auto"  # phase-table dtype for the
+    # TRAINING operator.  'auto' = bfloat16 when the data is float32 (the
+    # measured-default TPU speed mode: 1.8x matvec rate at ~3e-3 operator
+    # accuracy — see ROOFLINE.md; SLQ probe noise dominates the loss
+    # estimator anyway), None when the data is f64 (CPU parity runs).
+    # Set None/'float32' to force full-precision tables; predict always
+    # builds f32 plans.
     fastsum_oversample: int = 2        # coefficient-grid oversampling (NN=2N)
     fastsum_nearfield_lfil: Optional[int] = None  # sparse near-field correction
     # (the eps_I role).  None = auto: 16 for matern12 (whose kink makes the
@@ -87,7 +92,12 @@ class GPProblem:
             return make_dense_ops(self.kernel, X, windows=warr)
         if self.operator != "fastsum":
             raise ValueError(f"unknown operator {self.operator}")
-        tdt = jnp.dtype(self.fastsum_table_dtype) if self.fastsum_table_dtype else None
+        if self.fastsum_table_dtype == "auto":
+            tdt = jnp.bfloat16 if X.dtype == jnp.float32 else None
+        elif self.fastsum_table_dtype in (None, "float32"):
+            tdt = None
+        else:
+            tdt = jnp.dtype(self.fastsum_table_dtype)
         if warr is not None:
             geom = jax.jit(
                 lambda Xv: fs.additive_fastsum_geometry(

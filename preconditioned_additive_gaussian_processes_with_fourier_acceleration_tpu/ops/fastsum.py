@@ -784,7 +784,8 @@ def _packed_layout(plan: AdditiveFastsumPlan):
 
 
 def _packed_apply(plan: AdditiveFastsumPlan, x, weight_sel, *, block: int,
-                  interpret: bool):
+                  interpret: bool, prec: str = "highest",
+                  phase_gen: str = "doubling"):
     """Shared fused-path driver: one packed adjoint + one multi-weight packed
     forward over all d<=2 windows; d=3 windows on the table path.
 
@@ -804,7 +805,7 @@ def _packed_apply(plan: AdditiveFastsumPlan, x, weight_sel, *, block: int,
     if xT is not None:
         A2, A1 = packed_adjoint(
             xT, x, P=P, pairs=pairs, singles=singles, block=block,
-            interpret=interpret,
+            interpret=interpret, prec=prec, phase_gen=phase_gen,
         )
         G2_sets, G1_sets = [], []
         for sel, _ in weight_sel:
@@ -818,7 +819,7 @@ def _packed_apply(plan: AdditiveFastsumPlan, x, weight_sel, *, block: int,
             )
         ys = packed_forward(
             xT, G2_sets, G1_sets, P=P, pairs=pairs, singles=singles,
-            block=block, interpret=interpret,
+            block=block, interpret=interpret, prec=prec, phase_gen=phase_gen,
         )
         for s in range(nsets):
             accs[s] = accs[s] + ys[s]
@@ -852,7 +853,9 @@ def _packed_apply(plan: AdditiveFastsumPlan, x, weight_sel, *, block: int,
 
 
 def additive_fastsum_matvec_fused(plan: AdditiveFastsumPlan, x, *, block: int = 2048,
-                                  interpret: bool = False):
+                                  interpret: bool = False,
+                                  prec: str = "highest",
+                                  phase_gen: str = "doubling"):
     """Additive matvec via the packed Pallas fused-phase NDFT kernels.
 
     Regenerates phases in VMEM instead of reading the (d, n, 2P) tables from
@@ -862,7 +865,8 @@ def additive_fastsum_matvec_fused(plan: AdditiveFastsumPlan, x, *, block: int = 
     """
     p = plan.params
     (acc,) = _packed_apply(
-        plan, x, [("w", "nf_val")], block=block, interpret=interpret
+        plan, x, [("w", "nf_val")], block=block, interpret=interpret,
+        prec=prec, phase_gen=phase_gen,
     )
     f2 = p.f * p.f
     return f2 * (acc / plan.n_windows + p.mu * x)
@@ -870,14 +874,16 @@ def additive_fastsum_matvec_fused(plan: AdditiveFastsumPlan, x, *, block: int = 
 
 def additive_fastsum_grad_matvec_fused(plan: AdditiveFastsumPlan, x, *,
                                        block: int = 2048,
-                                       interpret: bool = False):
+                                       interpret: bool = False,
+                                       prec: str = "highest",
+                                       phase_gen: str = "doubling"):
     """(3, n) gradient matvec on the fused path — K and dK/dl share one
     phase generation per pass (ref nfft_interface.c:499-620 runs both
     fastsum plans on the same points)."""
     p = plan.params
     k_acc, l_acc = _packed_apply(
         plan, x, [("w", "nf_val"), ("dw_l", "nf_dval")], block=block,
-        interpret=interpret,
+        interpret=interpret, prec=prec, phase_gen=phase_gen,
     )
     W = plan.n_windows
     f2 = p.f * p.f

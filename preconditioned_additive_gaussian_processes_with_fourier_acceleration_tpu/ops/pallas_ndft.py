@@ -82,6 +82,42 @@ def _build_T6(xT_block, P: int):
     return jnp.concatenate([jnp.cos(ph), jnp.sin(ph)], axis=1)
 
 
+def _build_T6_doubling(xT_block, P: int):
+    """_build_T6 with TWO transcendentals per point/dim instead of 2*RP.
+
+    e^{ip theta} rows are grown by block doubling: rows [have:2*have) =
+    rows [0:have) rotated by e^{i have theta}, with the rotator obtained
+    from row have/2 by the double-angle identity — so the VPU cost is one
+    cos+sin plus ~2*RP complex multiplies of full (Dtot, *, B) blocks
+    (PLAN.md round-1 design: "2 transcendentals + rotations").  Phase error
+    grows like log2(P) ulp (measured ~1e-6 relative at P=17), below the
+    N=32 mode-truncation error.  Pad rows hold valid trig of higher p
+    (bounded, never read).
+    """
+    RP = _rpad(P)
+    th = TWO_PI * xT_block                                    # (Dtot, B)
+    c1 = jnp.cos(th)
+    s1 = jnp.sin(th)
+    C = jnp.stack([jnp.ones_like(th), c1], axis=1)            # (Dtot, 2, B)
+    S = jnp.stack([jnp.zeros_like(th), s1], axis=1)
+    have = 2
+    while have < RP:
+        ch = C[:, have // 2]
+        sh = S[:, have // 2]
+        ck = (ch * ch - sh * sh)[:, None, :]                  # cos(have*th)
+        sk = (2.0 * ch * sh)[:, None, :]                      # sin(have*th)
+        take = min(have, RP - have)
+        Cb = C[:, :take]
+        Sb = S[:, :take]
+        C = jnp.concatenate([C, Cb * ck - Sb * sk], axis=1)
+        S = jnp.concatenate([S, Sb * ck + Cb * sk], axis=1)
+        have += take
+    return jnp.concatenate([C, S], axis=1)                    # (Dtot, 2RP, B)
+
+
+_PHASE_GEN = {"direct": _build_T6, "doubling": _build_T6_doubling}
+
+
 def _dot(a, b, dn, precision):
     return jax.lax.dot_general(
         a, b, dimension_numbers=dn, preferred_element_type=jnp.float32,
@@ -90,6 +126,8 @@ def _dot(a, b, dn, precision):
 
 
 def _precision(name: str):
+    # Mosaic supports only DEFAULT (bf16x1) and HIGHEST (bf16x6) dot
+    # precisions in-kernel (HIGH raises NotImplementedError, measured r3).
     return {
         "highest": jax.lax.Precision.HIGHEST,
         "default": jax.lax.Precision.DEFAULT,
@@ -98,9 +136,10 @@ def _precision(name: str):
 
 # --- adjoint ----------------------------------------------------------------
 
-def _adjoint_kernel(P, pairs, singles, groups, prec, xT_ref, a_ref, *out_refs):
+def _adjoint_kernel(P, pairs, singles, groups, prec, phase_gen,
+                    xT_ref, a_ref, *out_refs):
     i = pl.program_id(0)
-    T6 = _build_T6(xT_ref[:, :], P)
+    T6 = _PHASE_GEN[phase_gen](xT_ref[:, :], P)
     a = a_ref[:, :]                                          # (1, B)
     precision = _precision(prec)
 
@@ -162,11 +201,12 @@ def _pad_g1(g, P: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("P", "pairs", "singles", "block", "interpret", "prec"),
+    static_argnames=("P", "pairs", "singles", "block", "interpret", "prec",
+                     "phase_gen"),
 )
 def packed_adjoint(xT, alpha, *, P: int, pairs: tuple, singles: tuple = (),
                    block: int = 2048, interpret: bool = False,
-                   prec: str = "highest"):
+                   prec: str = "highest", phase_gen: str = "doubling"):
     """Folded adjoint mode tensors for all windows in one fused kernel.
 
     xT: (Dtot, n) scaled window coordinates (dim-major rows)
@@ -196,7 +236,8 @@ def packed_adjoint(xT, alpha, *, P: int, pairs: tuple, singles: tuple = (),
         out_specs.append(pl.BlockSpec((WR * len(singles), 1), lambda i: (0, 0)))
 
     outs = pl.pallas_call(
-        functools.partial(_adjoint_kernel, P, pairs, singles, groups, prec),
+        functools.partial(_adjoint_kernel, P, pairs, singles, groups, prec,
+                          phase_gen),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((Dtot, block), lambda i: (0, i)),
@@ -224,7 +265,7 @@ def packed_adjoint(xT, alpha, *, P: int, pairs: tuple, singles: tuple = (),
 
 # --- forward ----------------------------------------------------------------
 
-def _forward_kernel(P, pairs, singles, groups, nsets, prec,
+def _forward_kernel(P, pairs, singles, groups, nsets, prec, phase_gen,
                     xT_ref, *refs):
     # refs: [G_g per set x group] + [B1 per set (if singles)] + y_refs
     n_g_in = nsets * len(groups)
@@ -233,7 +274,7 @@ def _forward_kernel(P, pairs, singles, groups, nsets, prec,
     y_refs = refs[n_g_in + n_s_in :]
     precision = _precision(prec)
 
-    T6 = _build_T6(xT_ref[:, :], P)
+    T6 = _PHASE_GEN[phase_gen](xT_ref[:, :], P)
     B = xT_ref.shape[1]
 
     L0s, L1s = [], []
@@ -257,11 +298,13 @@ def _forward_kernel(P, pairs, singles, groups, nsets, prec,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("P", "pairs", "singles", "block", "interpret", "prec"),
+    static_argnames=("P", "pairs", "singles", "block", "interpret", "prec",
+                     "phase_gen"),
 )
 def packed_forward(xT, G2_sets, G1_sets=None, *, P: int, pairs: tuple,
                    singles: tuple = (), block: int = 2048,
-                   interpret: bool = False, prec: str = "highest"):
+                   interpret: bool = False, prec: str = "highest",
+                   phase_gen: str = "doubling"):
     """Folded forward for one or more weight sets sharing one phase pass.
 
     G2_sets: list (per weight set) of lists of (2P, 2P) combined block
@@ -304,7 +347,7 @@ def packed_forward(xT, G2_sets, G1_sets=None, *, P: int, pairs: tuple,
 
     outs = pl.pallas_call(
         functools.partial(
-            _forward_kernel, P, pairs, singles, groups, nsets, prec
+            _forward_kernel, P, pairs, singles, groups, nsets, prec, phase_gen
         ),
         grid=(nb,),
         in_specs=in_specs,

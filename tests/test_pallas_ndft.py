@@ -106,3 +106,19 @@ def test_fused_path_keeps_3d_windows_on_tables():
     ref = additive_fastsum_matvec(plan, x)
     out = additive_fastsum_matvec_fused(plan, x, block=128, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-4, atol=3e-4)
+
+
+@pytest.mark.parametrize("P", [17, 9])
+def test_phase_gen_doubling_matches_direct(P):
+    """Block-doubling phase regeneration matches direct cos/sin to ~1e-6
+    (f32): rotation error grows only like log2(P) ulp."""
+    from nfft4gp_tpu.ops.pallas_ndft import _build_T6, _build_T6_doubling
+
+    rng = np.random.default_rng(5)
+    xT = jnp.asarray(rng.uniform(-0.25, 0.25, size=(6, 256)), jnp.float32)
+    a = np.asarray(_build_T6(xT, P))
+    b = np.asarray(_build_T6_doubling(xT, P))
+    RP = ((P + 7) // 8) * 8
+    # compare only the real mode rows (pad rows differ by design)
+    np.testing.assert_allclose(a[:, :P], b[:, :P], atol=5e-6)
+    np.testing.assert_allclose(a[:, RP : RP + P], b[:, RP : RP + P], atol=5e-6)

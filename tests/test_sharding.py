@@ -108,3 +108,66 @@ def test_sharded_train_step(mesh):
     )
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_sharded_ndft_adjoint_matches_local(mesh, problem):
+    """Explicit shard_map adjoint == single-device folded adjoint."""
+    from nfft4gp_tpu.ops.fastsum import _folded_adjoint
+    from nfft4gp_tpu.parallel.sharded import sharded_ndft_adjoint
+
+    X, p, K, b = problem
+    plan = fastsum_build("gaussian", p, X, N=16)
+    Tcs = jax.device_put(plan.geom.Tcs, NamedSharding(mesh, P(None, "points", None)))
+    b_s = shard_points(mesh, b)
+    A = sharded_ndft_adjoint(mesh)(Tcs, b_s)
+    A_ref = _folded_adjoint(plan.geom.Tcs, b)
+    np.testing.assert_allclose(np.asarray(A), np.asarray(A_ref), rtol=1e-10)
+
+
+def test_sharded_fastsum_matvec_matches_local(mesh, problem):
+    """shard_map fastsum matvec (adjoint psum + local forward) == plain."""
+    import dataclasses
+
+    from nfft4gp_tpu.parallel.sharded import sharded_fastsum_matvec
+
+    X, p, K, b = problem
+    plan = fastsum_build("gaussian", p, X, N=16)
+    sh_E = NamedSharding(mesh, P(None, "points", None))
+    geom_s = dataclasses.replace(
+        plan.geom,
+        Tcs=jax.device_put(plan.geom.Tcs, sh_E),
+        x=shard_points(mesh, plan.geom.x),
+    )
+    plan_s = dataclasses.replace(plan, geom=geom_s)
+    b_s = shard_points(mesh, b)
+    mv = sharded_fastsum_matvec(mesh, plan_s)
+    y = jax.jit(mv)(b_s)
+    y_ref = fastsum_matvec(plan, b)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-9)
+    # output stays row-sharded over the points axis
+    assert y.sharding.spec == P("points")
+
+
+def test_sharded_fsai_setup_matches_local(mesh, problem):
+    """Row-sharded FSAI setup == single-device setup (values and grads)."""
+    from nfft4gp_tpu.ops.knn import knn_pattern
+    from nfft4gp_tpu.preconds.fsai import fsai_setup
+    from nfft4gp_tpu.parallel.sharded import sharded_fsai_setup
+
+    X, p, K, b = problem
+    lfil = 8
+    idx, mask = knn_pattern(X, lfil)
+    ref = fsai_setup("gaussian", p, X, lfil, require_grad=True,
+                     pattern=(idx, mask))
+    idx_s = shard_points(mesh, idx)
+    mask_s = shard_points(mesh, mask)
+    pre = sharded_fsai_setup(
+        mesh, "gaussian", p, X, (idx_s, mask_s), require_grad=True
+    )
+    np.testing.assert_allclose(np.asarray(pre.val), np.asarray(ref.val), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(pre.dval), np.asarray(ref.dval), rtol=1e-9)
+    assert bool(pre.breakdown) == bool(ref.breakdown)
+    # the sharded precond must solve identically
+    np.testing.assert_allclose(
+        np.asarray(pre.solve(b)), np.asarray(ref.solve(b)), rtol=1e-10
+    )
