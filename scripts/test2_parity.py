@@ -9,15 +9,19 @@ probes, Nystrom rank 10 — and checks three things:
 1. LOSS ORACLE (exact): our SLQ-estimated loss at the initial point must
    match the analytically exact dense NLL
    0.5*(y'K^{-1}y/n + logdet(K)/n + log 2pi) computed with LAPACK on the
-   committed data (ours matches to ~1e-12).  NOTE: the committed golden
-   trace foo_0_loss_exact.txt starts at 1.3774, which does NOT equal the
-   exact NLL of the committed data at the documented start point (0.5398;
-   verified against direct slogdet/solve, every transform/kernel/estimator
-   variant, and an exact emulation of the reference's preconditioned-
-   Lanczos quadrature).  Since our 500-iter run reproduces the golden
-   PREDICTIONS to 0.013*std (check 3), the data and model match and the
-   trace column must record some offset quantity we could not identify;
-   the exact-NLL oracle is the machine-checkable ground truth used here.
+   committed data (ours matches to ~1e-12).
+
+   RESOLVED (round 3): the committed golden trace foo_0_loss_exact.txt
+   starts at 1.3774 while the exact NLL at run.sh's documented start
+   (raw x0 = (0,0,0) -> softplus 0.6931) is 0.5398.  The goldens were in
+   fact generated with CLI params f=l=mu=1 (raw x0 = (1,1,1) -> softplus
+   1.3133): the exact NLL there is 1.3773567..., equal to the golden's
+   first entry to all printed digits, and our Adam run from that start
+   REPRODUCES THE ENTIRE GOLDEN TRACE (|diff| <= 7e-5 over the first 60
+   iterations, SLQ probe-noise level).  The committed run.sh simply does
+   not match the committed goldens.  Check 1b below locks this in: with
+   --golden-start the script trains from raw (1,1,1) and asserts
+   trace-parity against the golden file.
 
 2. PREDICTION QUALITY: after 500 Adam iters, our test-RMSE/std must be at
    least as good as the golden predictions' (0.1986 for exact).
@@ -71,6 +75,10 @@ def main():
     ap.add_argument("--operator", default="dense", choices=["dense", "fastsum"])
     ap.add_argument("--quick", action="store_true",
                     help="50 Adam iters (loss-oracle check only)")
+    ap.add_argument("--golden-start", action="store_true",
+                    help="start from raw (1,1,1) — the start the committed "
+                    "goldens were actually generated with — and assert "
+                    "loss-TRACE parity against foo_0_loss_exact.txt")
     args = ap.parse_args()
 
     os.environ["JAX_PLATFORMS"] = "cpu"  # x64 parity path; shell may say axon
@@ -102,24 +110,34 @@ def main():
     assert len(set(perm.tolist())) == len(perm), "label matching not unique"
 
     maxits = 50 if args.quick else 500
-    ln2 = float(np.log(2.0))  # softplus(0): the driver starts from raw 0
+    ln2 = float(np.log(2.0))  # softplus(0): run.sh's documented raw 0
+    sp1 = float(np.log1p(np.exp(1.0)))  # softplus(1): the goldens' true start
+    init = (sp1,) * 3 if args.golden_start else (ln2,) * 3
     prob = GPProblem(
         kernel="gaussian",
         operator=args.operator,
         windows=[[0]] if args.operator == "fastsum" else None,
         precond="nystrom", rank=10, maxits=10, nvecs=10, seed=0,
     )
-    prob.fit(X, y, init=(ln2, ln2, ln2), adam_maxits=maxits, adam_alpha=0.01,
+    prob.fit(X, y, init=init, adam_maxits=maxits, adam_alpha=0.01,
              adam_tol=0.0)
     pred = np.asarray(prob.predict(X, y, np.asarray(Xt)))[perm]
     losses = np.asarray(prob.loss_history_)
 
     # 1. loss oracle
-    L0 = exact_nll(X, y, ln2, ln2, ln2)
+    L0 = exact_nll(X, y, *init)
     d_loss0 = abs(losses[0] - L0)
-    print(f"operator={args.operator} adam_maxits={maxits}")
-    print(f"loss[0] ours {losses[0]:.6f}  exact-NLL {L0:.6f}  |d|={d_loss0:.2e}"
-          f"  (committed golden trace starts at {g_losses[0]:.4f}; see docstring)")
+    print(f"operator={args.operator} adam_maxits={maxits} "
+          f"golden_start={args.golden_start}")
+    print(f"loss[0] ours {losses[0]:.6f}  exact-NLL {L0:.6f}  |d|={d_loss0:.2e}")
+
+    # 1b. golden loss-TRACE parity (the goldens' true start, see docstring)
+    trace_ok = True
+    if args.golden_start and args.operator == "dense":
+        m = min(len(losses), len(g_losses))
+        dtrace = float(np.max(np.abs(losses[:m] - g_losses[:m])))
+        print(f"golden trace parity over {m} iters: max|diff| = {dtrace:.2e}")
+        trace_ok = dtrace < 2e-3  # SLQ probe noise accumulates along the run
 
     # 2./3. prediction parity
     ystd = float(np.std(g_labels))
@@ -129,7 +147,7 @@ def main():
     print(f"test RMSE/std : ours {rmse_ours:.4f}  golden {rmse_golden:.4f}")
     print(f"ours-vs-golden prediction RMSE/std (informational): {rmse_vs_golden:.4f}")
 
-    ok = d_loss0 < 5e-3  # SLQ noise with 10 probes
+    ok = d_loss0 < 5e-3 and trace_ok  # SLQ noise with 10 probes
     if not args.quick:
         ok = ok and rmse_ours <= rmse_golden * 1.10
     print("PARITY:", "PASS" if ok else "FAIL")
