@@ -915,3 +915,161 @@ def additive_fastsum_grad_matvec(plan: AdditiveFastsumPlan, x):
     y_l = f2 * (l_acc / W)
     y_mu = f2 * x
     return jnp.stack([y_f, y_l, y_mu])
+
+
+# --- streamed packed-NDFT plan (the round-3 speed-of-light path) ------------
+
+@pytree_dataclass(static_fields=("P", "n", "block", "pairs", "singles"))
+class PackedNDFT:
+    # NOTE: n_windows stays a LEAF (it arrives as a traced value when the
+    # plan is built inside jit); P/n/block/pairs/singles derive from python
+    # shapes and stay static.
+    """Prebuilt streamed-table packed-kernel plan for the d<=2 windows.
+
+    Built once per (dataset, params) from an AdditiveFastsumPlan by
+    packed_ndft_plan().  The phase table Tp is stored in the kernels'
+    native (Dtot, WR, npad) layout (ops/pallas_ndft.pack_phase_table) and
+    STREAMED through VMEM per block — unlike the XLA table path there are
+    no dot-operand / dot-result HBM materializations, so the matvec moves
+    exactly the table bytes (ROOFLINE.md "next levers" #1).
+
+    edge_trim (P = N/2 instead of N/2+1) drops the unpaired Nyquist mode:
+    the layout becomes pad-free (WR = N rows, 4 windows per 128-lane MXU
+    tile at N=32) at negligible accuracy cost (measured: gaussian matvec
+    error unchanged at 8.7e-7; matern12 1.12e-2 -> 1.17e-2, absorbed by
+    the near-field correction).
+    """
+
+    P: int                     # folded modes per dim kept (16 when trimmed)
+    n: int
+    n_windows: int
+    block: int
+    pairs: tuple
+    singles: tuple
+    Tp: jnp.ndarray            # (Dtot*WR, npad) packed phase table
+    w2: tuple                  # per-2-D-window trimmed folded weights
+    dw2: tuple
+    w1: tuple
+    dw1: tuple
+    nf2: tuple                 # per-window near-field triples or None
+    nf1: tuple
+    rest: tuple                # d=3 window groups (table path)
+    params: KernelParams
+
+
+def packed_ndft_plan(plan: AdditiveFastsumPlan, *, table_dtype=None,
+                     edge_trim: bool = True, block: int = 2048) -> PackedNDFT:
+    """Build the streamed packed-kernel plan from an additive fastsum plan."""
+    from .pallas_ndft import pack_phase_table
+
+    (xT, pairs, singles, w2, dw2, w1, dw1, nf2, nf1, rest) = _packed_layout(plan)
+    P_full = None
+    n = None
+    for _dw, order, plans in plan.groups:
+        P_full = _nmodes(plans.N)
+        n = plans.geom.x.shape[1]
+        break
+    P = P_full - 1 if edge_trim else P_full
+
+    def trim2(W):
+        return W[:, :P, :P] if edge_trim else W
+
+    def trim1(W):
+        return W[:, :P] if edge_trim else W
+
+    Tp = (
+        pack_phase_table(xT, P, block=block, table_dtype=table_dtype)
+        if xT is not None
+        else None
+    )
+    return PackedNDFT(
+        P=P, n=n, n_windows=plan.n_windows, block=block,
+        pairs=pairs, singles=singles, Tp=Tp,
+        w2=tuple(trim2(W) for W in w2), dw2=tuple(trim2(W) for W in dw2),
+        w1=tuple(trim1(W) for W in w1), dw1=tuple(trim1(W) for W in dw1),
+        nf2=tuple(nf2), nf1=tuple(nf1), rest=tuple(rest), params=plan.params,
+    )
+
+
+def _packed_ndft_apply(pn: PackedNDFT, x, weight_sel, *, prec: str,
+                       interpret: bool):
+    """Streamed-kernel analog of _packed_apply (weights pre-trimmed)."""
+    from .pallas_ndft import packed_adjoint, packed_forward
+
+    nsets = len(weight_sel)
+    accs = [jnp.zeros_like(x) for _ in range(nsets)]
+
+    if pn.Tp is not None:
+        A2, A1 = packed_adjoint(
+            pn.Tp, x, P=pn.P, pairs=pn.pairs, singles=pn.singles,
+            block=pn.block, interpret=interpret, prec=prec, phase_gen="table",
+        )
+        G2_sets, G1_sets = [], []
+        for sel, _ in weight_sel:
+            wsel2 = pn.w2 if sel == "w" else pn.dw2
+            wsel1 = pn.w1 if sel == "w" else pn.dw1
+            G2_sets.append(
+                [_folded_combine(wsel2[i], A2[i], 2) for i in range(len(pn.pairs))]
+            )
+            G1_sets.append(
+                [_folded_combine(wsel1[i], A1[i], 1) for i in range(len(pn.singles))]
+            )
+        ys = packed_forward(
+            pn.Tp, G2_sets, G1_sets, P=pn.P, pairs=pn.pairs,
+            singles=pn.singles, block=pn.block, interpret=interpret,
+            prec=prec, phase_gen="table", n_out=pn.n,
+        )
+        for s in range(nsets):
+            accs[s] = accs[s] + ys[s]
+        for s, (sel, nfsel) in enumerate(weight_sel):
+            for trip in list(pn.nf2) + list(pn.nf1):
+                if trip is not None:
+                    idx, val, dval = trip
+                    accs[s] = accs[s] + nearfield_matvec(
+                        idx, val if nfsel == "nf_val" else dval, x
+                    )
+
+    for dw, order, plans in pn.rest:
+        for s, (sel, nfsel) in enumerate(weight_sel):
+            contrib = jax.vmap(
+                lambda pl_: _folded_apply_multi(
+                    pl_.geom.Tcs, [pl_.w if sel == "w" else pl_.dw_l], x
+                )[0]
+                + (
+                    nearfield_matvec(
+                        pl_.nf_idx,
+                        pl_.nf_val if nfsel == "nf_val" else pl_.nf_dval,
+                        x,
+                    )
+                    if pl_.nf_val is not None
+                    else 0.0
+                )
+            )(plans)
+            accs[s] = accs[s] + jnp.sum(contrib, axis=0)
+    return accs
+
+
+def packed_ndft_matvec(pn: PackedNDFT, x, *, prec: str = "highest",
+                       interpret: bool = False):
+    """y = f^2 (mean_w ksum_w(x) + mu x) on the streamed packed kernels."""
+    p = pn.params
+    (acc,) = _packed_ndft_apply(pn, x, [("w", "nf_val")], prec=prec,
+                                interpret=interpret)
+    f2 = p.f * p.f
+    return f2 * (acc / pn.n_windows + p.mu * x)
+
+
+def packed_ndft_grad_matvec(pn: PackedNDFT, x, *, prec: str = "highest",
+                            interpret: bool = False):
+    """(3, n) gradient matvec; K and dK/dl share one table stream per pass."""
+    p = pn.params
+    k_acc, l_acc = _packed_ndft_apply(
+        pn, x, [("w", "nf_val"), ("dw_l", "nf_dval")], prec=prec,
+        interpret=interpret,
+    )
+    W = pn.n_windows
+    f2 = p.f * p.f
+    y_f = 2.0 * p.f * (k_acc / W + p.mu * x)
+    y_l = f2 * (l_acc / W)
+    y_mu = f2 * x
+    return jnp.stack([y_f, y_l, y_mu])

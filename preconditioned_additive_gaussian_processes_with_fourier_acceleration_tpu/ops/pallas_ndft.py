@@ -118,6 +118,48 @@ def _build_T6_doubling(xT_block, P: int):
 _PHASE_GEN = {"direct": _build_T6, "doubling": _build_T6_doubling}
 
 
+def _get_T6(phase_gen: str, src, P: int):
+    """Phase source: regenerate from points (src = (Dtot, B) coords) or
+    stream a pre-packed table block (src = (Dtot*WR, B), 'table' mode —
+    see pack_phase_table; 2-D layout because 3-D input BlockSpecs hang the
+    Mosaic compile on the tunneled backend, measured r3).  The leading-axis
+    split to (Dtot, WR, B) is a free sublane-preserving view.  Narrow table
+    dtypes are upcast in VMEM so the dots run f32 (accuracy =
+    phase-rounding only, like the bf16 table path)."""
+    if phase_gen == "table":
+        WR = _wrows(P)
+        rows, B = src.shape
+        return src.reshape(rows // WR, WR, B).astype(jnp.float32)
+    return _PHASE_GEN[phase_gen](src, P)
+
+
+def pack_phase_table(xT, P: int, block: int = 2048, table_dtype=None):
+    """(Dtot*WR, npad) packed phase table for phase_gen='table' streaming.
+
+    Per dim j, rows [j*WR : j*WR+P] = cos(2 pi p x_j), rows
+    [j*WR+RP : j*WR+RP+P] = sin; pad rows (P < RP) are ZERO (pad positions
+    of the combined weights are zero too, so they contribute nothing).
+    With the Nyquist mode trimmed (P = N/2) the layout is pad-free:
+    WR = 2P = N rows/dim and 128/WR windows pack per MXU tile.  npad is
+    rounded up to a multiple of `block` so kernel grids need no edge
+    handling.  Stored FLAT as 2-D (see _get_T6: 3-D input BlockSpecs hang
+    Mosaic on this backend)."""
+    Dtot, n = xT.shape
+    RP = _rpad(P)
+    WR = 2 * RP
+    nb = -(-n // block)
+    npad = nb * block
+    xp = jnp.zeros((Dtot, npad), xT.dtype).at[:, :n].set(xT)
+    pr = jnp.arange(P, dtype=xT.dtype)
+    ph = TWO_PI * xp[:, None, :] * pr[None, :, None]          # (Dtot, P, npad)
+    T = jnp.zeros((Dtot, WR, npad), jnp.float32)
+    T = T.at[:, :P].set(jnp.cos(ph))
+    T = T.at[:, RP : RP + P].set(jnp.sin(ph))
+    if table_dtype is not None:
+        T = T.astype(table_dtype)
+    return T.reshape(Dtot * WR, npad)
+
+
 def _dot(a, b, dn, precision):
     return jax.lax.dot_general(
         a, b, dimension_numbers=dn, preferred_element_type=jnp.float32,
@@ -137,9 +179,9 @@ def _precision(name: str):
 # --- adjoint ----------------------------------------------------------------
 
 def _adjoint_kernel(P, pairs, singles, groups, prec, phase_gen,
-                    xT_ref, a_ref, *out_refs):
+                    src_ref, a_ref, *out_refs):
     i = pl.program_id(0)
-    T6 = _PHASE_GEN[phase_gen](xT_ref[:, :], P)
+    T6 = _get_T6(phase_gen, src_ref[...], P)
     a = a_ref[:, :]                                          # (1, B)
     precision = _precision(prec)
 
@@ -209,22 +251,34 @@ def packed_adjoint(xT, alpha, *, P: int, pairs: tuple, singles: tuple = (),
                    prec: str = "highest", phase_gen: str = "doubling"):
     """Folded adjoint mode tensors for all windows in one fused kernel.
 
-    xT: (Dtot, n) scaled window coordinates (dim-major rows)
+    xT: (Dtot, n) scaled window coordinates (dim-major rows), OR with
+        phase_gen='table' a pre-packed (Dtot, WR, npad) phase table
+        (pack_phase_table) — streamed per block instead of regenerated.
     alpha: (n,)
     pairs: per-2-D-window (ja, jb) row indices into xT
     singles: per-1-D-window row index into xT
     Returns (A2, A1): A2 = list of (2P, 2P) per 2-D window (matches
     fastsum._folded_adjoint for d=2), A1 = list of (2P,) per 1-D window.
     """
-    Dtot, n = xT.shape
-    dtype = xT.dtype
-    nb = -(-n // block)
-    npad = nb * block
-    xTp = jnp.zeros((Dtot, npad), dtype).at[:, :n].set(xT)
+    table_mode = phase_gen == "table"
+    WR = _wrows(P)
+    if table_mode:
+        rows, npad = xT.shape
+        Dtot = rows // WR
+        nb = npad // block
+        n = alpha.shape[0]
+        src = xT
+        src_spec = pl.BlockSpec((rows, block), lambda i: (0, i))
+    else:
+        Dtot, n = xT.shape
+        nb = -(-n // block)
+        npad = nb * block
+        src = jnp.zeros((Dtot, npad), xT.dtype).at[:, :n].set(xT)
+        src_spec = pl.BlockSpec((Dtot, block), lambda i: (0, i))
+    dtype = alpha.dtype
     ap = jnp.zeros((1, npad), dtype).at[0, :n].set(alpha)
 
     groups = _group_windows(len(pairs), P)
-    WR = _wrows(P)
     out_shapes = [
         jax.ShapeDtypeStruct((WR * len(g), WR * len(g)), dtype) for g in groups
     ]
@@ -240,13 +294,13 @@ def packed_adjoint(xT, alpha, *, P: int, pairs: tuple, singles: tuple = (),
                           phase_gen),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((Dtot, block), lambda i: (0, i)),
+            src_spec,
             pl.BlockSpec((1, block), lambda i: (0, i)),
         ],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
         interpret=interpret,
-    )(xTp, ap)
+    )(src, ap)
 
     A2 = []
     for gi, g in enumerate(groups):
@@ -266,7 +320,7 @@ def packed_adjoint(xT, alpha, *, P: int, pairs: tuple, singles: tuple = (),
 # --- forward ----------------------------------------------------------------
 
 def _forward_kernel(P, pairs, singles, groups, nsets, prec, phase_gen,
-                    xT_ref, *refs):
+                    src_ref, *refs):
     # refs: [G_g per set x group] + [B1 per set (if singles)] + y_refs
     n_g_in = nsets * len(groups)
     n_s_in = nsets if singles else 0
@@ -274,8 +328,8 @@ def _forward_kernel(P, pairs, singles, groups, nsets, prec, phase_gen,
     y_refs = refs[n_g_in + n_s_in :]
     precision = _precision(prec)
 
-    T6 = _PHASE_GEN[phase_gen](xT_ref[:, :], P)
-    B = xT_ref.shape[1]
+    T6 = _get_T6(phase_gen, src_ref[...], P)
+    B = T6.shape[-1]
 
     L0s, L1s = [], []
     for g in groups:
@@ -299,31 +353,44 @@ def _forward_kernel(P, pairs, singles, groups, nsets, prec, phase_gen,
 @functools.partial(
     jax.jit,
     static_argnames=("P", "pairs", "singles", "block", "interpret", "prec",
-                     "phase_gen"),
+                     "phase_gen", "n_out"),
 )
 def packed_forward(xT, G2_sets, G1_sets=None, *, P: int, pairs: tuple,
                    singles: tuple = (), block: int = 2048,
                    interpret: bool = False, prec: str = "highest",
-                   phase_gen: str = "doubling"):
+                   phase_gen: str = "doubling", n_out: int = None):
     """Folded forward for one or more weight sets sharing one phase pass.
 
+    xT: (Dtot, n) coordinates, or with phase_gen='table' a pre-packed
+        (Dtot, WR, npad) phase table (pass n_out = true n).
     G2_sets: list (per weight set) of lists of (2P, 2P) combined block
     tensors per 2-D window (fastsum._folded_combine output).
     G1_sets: list (per weight set) of lists of (2P,) per 1-D window.
     Returns list of y (n,) per weight set.
     """
-    Dtot, n = xT.shape
-    dtype = xT.dtype
-    nb = -(-n // block)
-    npad = nb * block
-    xTp = jnp.zeros((Dtot, npad), dtype).at[:, :n].set(xT)
+    table_mode = phase_gen == "table"
+    WR = _wrows(P)
+    if table_mode:
+        rows, npad = xT.shape
+        Dtot = rows // WR
+        nb = npad // block
+        n = n_out if n_out is not None else npad
+        src = xT
+        src_spec = pl.BlockSpec((rows, block), lambda i: (0, i))
+        dtype = jnp.float32
+    else:
+        Dtot, n = xT.shape
+        dtype = xT.dtype
+        nb = -(-n // block)
+        npad = nb * block
+        src = jnp.zeros((Dtot, npad), dtype).at[:, :n].set(xT)
+        src_spec = pl.BlockSpec((Dtot, block), lambda i: (0, i))
 
     groups = _group_windows(len(pairs), P)
-    WR = _wrows(P)
     nsets = len(G2_sets) if pairs else len(G1_sets)
 
-    inputs = [xTp]
-    in_specs = [pl.BlockSpec((Dtot, block), lambda i: (0, i))]
+    inputs = [src]
+    in_specs = [src_spec]
     for s in range(nsets):
         for g in groups:
             rows = WR * len(g)

@@ -14,6 +14,9 @@ Variants:
   fused-<gen>-<prec>   packed Pallas fused-phase kernels; gen in
                        {direct, doubling} phase regeneration, prec in
                        {highest, default} MXU passes
+  stream-<dt>-<prec>   streamed packed-table kernels (packed_ndft_plan,
+                       edge-trimmed pad-free layout), table dtype in
+                       {f32, bf16}
 
 Usage:
   python scripts/chip_probe.py                 # full sweep, n=2e5
@@ -39,6 +42,9 @@ VARIANTS = [
     "fused-doubling-highest",
     "fused-direct-default",
     "fused-doubling-default",
+    "stream-f32-highest",
+    "stream-f32-default",
+    "stream-bf16-default",
 ]
 
 
@@ -71,6 +77,9 @@ def main():
     ap.add_argument("--n-acc", type=int, default=2048,
                     help="dense-oracle size for the accuracy column")
     ap.add_argument("--grad", action="store_true", help="also time grad matvec")
+    ap.add_argument("--pcg", action="store_true",
+                    help="time the fused dense-PCG Pallas kernel vs the XLA "
+                    "while_loop PCG at n = --n-acc (skips the matvec sweep)")
     ap.add_argument("--json", default=None)
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
@@ -113,6 +122,47 @@ def main():
     )(Xa)
     y_oracle = np.asarray(jax.jit(lambda K, x: K @ x)(Ka, va))
 
+    if args.pcg:
+        from preconditioned_additive_gaussian_processes_with_fourier_acceleration_tpu.solvers.pcg import pcg
+        from preconditioned_additive_gaussian_processes_with_fourier_acceleration_tpu.solvers.pallas_pcg import (
+            fused_pcg_dense,
+        )
+
+        maxits, tol = 200, 1e-5
+        reps = max(args.iters // 10, 5)
+
+        @jax.jit
+        def run_fused(K, b):
+            def body(i, bb):
+                x, rr, ni = fused_pcg_dense(K, bb, maxits=maxits, tol=tol)
+                return bb + 0.0 * x  # keep solves independent but sequenced
+            return jax.lax.fori_loop(0, reps, body, b)
+
+        @jax.jit
+        def run_xla(K, b):
+            def body(i, bb):
+                res = pcg(lambda v: K @ v, bb, tol=tol, maxits=maxits)
+                return bb + 0.0 * res.x
+            return jax.lax.fori_loop(0, reps, body, b)
+
+        rows = []
+        for name, fn in (("fused-pallas-pcg", run_fused), ("xla-pcg", run_xla)):
+            np.asarray(fn(Ka, va))
+            t0 = time.perf_counter()
+            np.asarray(fn(Ka, va))
+            dt = (time.perf_counter() - t0) / reps
+            rows.append(dict(variant=name, n=args.n_acc, maxits=maxits,
+                             tol=tol, ms_per_solve=round(dt * 1e3, 3)))
+            print(json.dumps(rows[-1]))
+        x, rr, ni = jax.block_until_ready(
+            fused_pcg_dense(Ka, va, maxits=maxits, tol=tol)
+        )
+        print(f"fused relres {float(rr):.2e} in {int(ni)} its")
+        if args.json:
+            with open(args.json, "w") as f:
+                json.dump(dict(config=vars(args), results=rows), f, indent=1)
+        return
+
     def build_plan(Xv, table_dtype=None):
         return jax.jit(
             lambda Xq: fs.additive_fastsum_build(
@@ -125,11 +175,15 @@ def main():
         parts = variant.split("-")
         if parts[0] == "table":
             return dict(path="table", tdt=parts[1], prec=parts[2] if len(parts) > 2 else "highest")
+        if parts[0] == "stream":
+            return dict(path="stream", tdt=parts[1], prec=parts[2])
         return dict(path="fused", gen=parts[1], prec=parts[2])
 
     def make_matvec(spec, plan):
         if spec["path"] == "table":
             return lambda pl_, x: fs.additive_fastsum_matvec(pl_, x)
+        if spec["path"] == "stream":
+            return lambda pn_, x: fs.packed_ndft_matvec(pn_, x, prec=spec["prec"])
         return lambda pl_, x: fs.additive_fastsum_matvec_fused(
             pl_, x, block=args.block, prec=spec["prec"], phase_gen=spec["gen"]
         )
@@ -137,6 +191,8 @@ def main():
     def make_grad(spec):
         if spec["path"] == "table":
             return lambda pl_, x: fs.additive_fastsum_grad_matvec(pl_, x)
+        if spec["path"] == "stream":
+            return lambda pn_, x: fs.packed_ndft_grad_matvec(pn_, x, prec=spec["prec"])
         return lambda pl_, x: fs.additive_fastsum_grad_matvec_fused(
             pl_, x, block=args.block, prec=spec["prec"], phase_gen=spec["gen"]
         )
@@ -152,8 +208,21 @@ def main():
         )
         try:
             with ctx:
-                plan = build_plan(X, table_dtype=tdt)
-                plan_a = build_plan(Xa, table_dtype=tdt)
+                if spec["path"] == "stream":
+                    sdt = jnp.bfloat16 if spec["tdt"] == "bf16" else None
+                    plan = jax.jit(
+                        lambda pl_: fs.packed_ndft_plan(
+                            pl_, table_dtype=sdt, block=args.block
+                        )
+                    )(build_plan(X))
+                    plan_a = jax.jit(
+                        lambda pl_: fs.packed_ndft_plan(
+                            pl_, table_dtype=sdt, block=args.block
+                        )
+                    )(build_plan(Xa))
+                else:
+                    plan = build_plan(X, table_dtype=tdt)
+                    plan_a = build_plan(Xa, table_dtype=tdt)
                 mv = make_matvec(spec, plan)
 
                 # accuracy vs dense oracle

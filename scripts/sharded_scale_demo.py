@@ -34,6 +34,12 @@ def main():
     ap.add_argument("--fastsum-N", type=int, default=32)
     ap.add_argument("--mu", type=float, default=0.1)
     ap.add_argument("--rank", type=int, default=200)
+    ap.add_argument("--compensated", action="store_true",
+                    help="TwoSum float-float dot/norm accumulation in the "
+                    "solvers (reference f64 reduction semantics at f32; "
+                    "solvers/reductions.py) — needed for deep tolerances "
+                    "at N ~ 1e6")
+    ap.add_argument("--tol", type=float, default=1e-3)
     args = ap.parse_args()
 
     if args.mode == "mesh":
@@ -130,14 +136,15 @@ def main():
                             require_grad=False, windows=windows)
         res = pcg(lambda v: additive_fastsum_matvec(plan, v), bv,
                   precond=pre.solve,
-                  tol=1e-3, maxits=iters)
+                  tol=args.tol, maxits=iters, compensated=args.compensated)
         # At N ~ 1e6 in f32 the PCG quadratic form p'Ap drops below the
         # matvec noise floor (lambda_max * eps ~ mu) and the breakdown
         # guard freezes; FGMRES tolerates the inexact matvec — the same
         # reason the reference's loss uses it (gp_loss.c:199-213).
         resf = fgmres(lambda v: additive_fastsum_matvec(plan, v), bv,
                       precond=pre.solve, kdim=min(iters, 60),
-                      tol=1e-3, maxits=min(iters, 60))
+                      tol=args.tol, maxits=min(iters, 60),
+                      compensated=args.compensated)
         return res.x, res.relres, res.niter, resf.relres, resf.niter
 
     x, relres, its, frelres, fits = jax.block_until_ready(solve(plan, X, b))
@@ -148,7 +155,8 @@ def main():
         assert x.sharding.spec == P("points"), x.sharding  # stays row-sharded
     print(f"PCG: {int(its)} its, relres {float(relres):.2e} | "
           f"FGMRES: {int(fits)} its, relres {float(frelres):.2e} | "
-          f"{t_solve:.2f}s (sharded mode: {args.mode == 'mesh'})")
+          f"{t_solve:.2f}s (sharded mode: {args.mode == 'mesh'}, "
+          f"compensated: {args.compensated}, tol: {args.tol})")
 
 
 if __name__ == "__main__":

@@ -122,3 +122,69 @@ def test_phase_gen_doubling_matches_direct(P):
     # compare only the real mode rows (pad rows differ by design)
     np.testing.assert_allclose(a[:, :P], b[:, :P], atol=5e-6)
     np.testing.assert_allclose(a[:, RP : RP + P], b[:, RP : RP + P], atol=5e-6)
+
+
+@pytest.mark.parametrize("table_dtype", [None, jnp.bfloat16])
+def test_packed_ndft_streamed_matches_table(table_dtype):
+    """Streamed-table packed plan == table path (edge-trim tolerance)."""
+    from nfft4gp_tpu.ops.fastsum import (
+        packed_ndft_plan,
+        packed_ndft_matvec,
+        packed_ndft_grad_matvec,
+    )
+
+    rng = np.random.default_rng(113)
+    n, d = 400, 11
+    X = jnp.asarray(rng.uniform(size=(n, d)), jnp.float32)
+    p = KernelParams.make(1.1, 0.5, 0.02, dtype=jnp.float32)
+    windows = make_windows([[0, 1], [2, 3], [4, 5], [6, 7], [8, 9], [10]])
+    plan = additive_fastsum_build("gaussian", p, X, windows, N=32)
+    x = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
+    ref = additive_fastsum_matvec(plan, x)
+    dref = additive_fastsum_grad_matvec(plan, x)
+
+    # untrimmed: exact vs the table path (f32 roundoff / bf16 phase rounding)
+    pn_full = packed_ndft_plan(plan, table_dtype=table_dtype, block=128,
+                               edge_trim=False)
+    out_full = packed_ndft_matvec(pn_full, x, interpret=True)
+    tol = 4e-3 if table_dtype is not None else 2e-5
+    errf = np.linalg.norm(np.asarray(out_full) - np.asarray(ref))
+    assert errf / np.linalg.norm(np.asarray(ref)) < tol
+
+    # trimmed default: pad-free layout; Nyquist-mode difference only
+    # (~7e-4 rel here — it moves the operator TOWARD the dense oracle)
+    pn = packed_ndft_plan(plan, table_dtype=table_dtype, block=128)
+    assert pn.P == 16 and pn.Tp.shape[0] % 32 == 0  # pad-free trimmed layout
+    out = packed_ndft_matvec(pn, x, interpret=True)
+    err = np.linalg.norm(np.asarray(out) - np.asarray(ref))
+    err /= np.linalg.norm(np.asarray(ref))
+    assert err < 6e-3
+
+    dout = packed_ndft_grad_matvec(pn, x, interpret=True)
+    for j in range(3):
+        derr = np.linalg.norm(np.asarray(dout[j]) - np.asarray(dref[j]))
+        dnorm = np.linalg.norm(np.asarray(dref[j]))
+        assert derr / max(dnorm, 1e-12) < 9e-3, f"grad {j}"
+
+
+def test_packed_ndft_streamed_3d_rest():
+    from nfft4gp_tpu.ops.fastsum import packed_ndft_plan, packed_ndft_matvec
+
+    rng = np.random.default_rng(117)
+    n = 200
+    X = jnp.asarray(rng.uniform(size=(n, 5)), jnp.float32)
+    p = KernelParams.make(1.0, 0.6, 0.05, dtype=jnp.float32)
+    windows = make_windows([[0, 1, 2], [3, 4]])
+    plan = additive_fastsum_build("gaussian", p, X, windows, N=16)
+    x = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
+    ref = additive_fastsum_matvec(plan, x)
+    # untrimmed: exact; trimmed: Nyquist-mode difference only
+    out_full = packed_ndft_matvec(
+        packed_ndft_plan(plan, block=128, edge_trim=False), x, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out_full), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
+    out = packed_ndft_matvec(packed_ndft_plan(plan, block=128), x,
+                             interpret=True)
+    err = np.linalg.norm(np.asarray(out) - np.asarray(ref))
+    assert err / np.linalg.norm(np.asarray(ref)) < 6e-3

@@ -219,3 +219,20 @@ def test_solvers_compensated_path(problem):
     resf = fgmres(lambda x: K @ x, b, kdim=60, maxits=120, tol=1e-10,
                   compensated=True)
     assert float(resf.relres) < 1e-9
+
+
+def test_fused_pcg_dense_interpret(problem):
+    """Single-kernel fused PCG == jnp.linalg.solve (interpret mode)."""
+    from nfft4gp_tpu.solvers.pallas_pcg import fused_pcg_dense
+
+    X, p, K, dK, b = problem
+    K32 = jnp.asarray(np.asarray(K), jnp.float32)
+    b32 = jnp.asarray(np.asarray(b), jnp.float32)
+    x, relres, niter = fused_pcg_dense(K32, b32, maxits=300, tol=1e-5,
+                                       blk=64, interpret=True)
+    assert float(relres) < 1e-5
+    x_ref = np.linalg.solve(np.asarray(K), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=2e-3, atol=2e-4)
+    # iteration count agrees with the reference-semantics XLA PCG
+    res = pcg(lambda v: K32 @ v, b32, tol=1e-5, maxits=300)
+    assert abs(int(niter) - int(res.niter)) <= 3
