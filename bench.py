@@ -4,13 +4,17 @@ Measures pts/s/chip of the additive fastsum matvec (the reference's hot path,
 SURVEY.md §3.2: Nfft4GPAdditiveNFFTMatSymv) at N=200k points, d=10, five
 2-feature windows — BASELINE.json config 3 scaled up.
 
-Runs the framework's TRAINING-default operator configuration: bfloat16
-phase tables with float32 MXU accumulation (GPProblem fastsum_table_dtype
-'auto' on f32 data).  The f32 table path is at the HBM roofline (measured
-~870 GB/s effective, ROOFLINE.md), so halving table bytes is the measured
-2x; operator accuracy is ~3e-3 relative vs the dense oracle (chip_probe),
-well inside the reference's own shipped fastsum error for non-smooth
-kernels (4e-2) and below the SLQ estimator noise in the loss.
+Runs the framework's TRAINING-default operator configuration: the STREAMED
+packed-table Pallas kernels (ops/fastsum.packed_ndft_plan) with bfloat16
+phase tables upcast to f32 in VMEM (GPProblem fastsum_engine 'auto' on
+TPU + f32 data).  The f32 XLA table path is at the HBM roofline (measured
+~870 GB/s effective, ROOFLINE.md); bf16 tables halve the dominant traffic
+term and the streamed kernels eliminate the XLA dot-operand/result HBM
+materializations on top (measured r3: stream-bf16 470 us vs table-bf16
+517 us vs table-f32 961 us at n=2e5).  Operator accuracy is ~1-2e-3
+relative vs the dense oracle (chip_probe), well inside the reference's own
+shipped fastsum error for non-smooth kernels (4e-2) and below the SLQ
+estimator noise in the loss.
 
 The reference publishes no numbers (README.md:4 "not optimized for
 performance"); vs_baseline is reported against a nominal 1e6 pts/s —
@@ -52,6 +56,8 @@ def _run(n, d, iters):
     from preconditioned_additive_gaussian_processes_with_fourier_acceleration_tpu.ops.fastsum import (
         additive_fastsum_build,
         additive_fastsum_matvec,
+        packed_ndft_plan,
+        packed_ndft_matvec,
     )
 
     dtype = jnp.float32
@@ -65,18 +71,31 @@ def _run(n, d, iters):
     # plan built inside jit (on the remote-compile TPU backend every eager op
     # is a compile round-trip) and passed as a jit ARGUMENT so the large
     # phase tables are buffers, not inlined MLIR constants
-    plan = jax.jit(
-        lambda Xv: additive_fastsum_build(
-            "gaussian", params, Xv, windows, N=32, table_dtype=jnp.bfloat16
-        )
-    )(X)
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if on_tpu:
+        # streamed packed-table Pallas kernels (the r3 training default)
+        plan = jax.jit(
+            lambda Xv: packed_ndft_plan(
+                additive_fastsum_build("gaussian", params, Xv, windows, N=32),
+                table_dtype=jnp.bfloat16,
+            )
+        )(X)
+        mv = lambda p, v: packed_ndft_matvec(p, v, prec="default", upcast=True)
+    else:
+        plan = jax.jit(
+            lambda Xv: additive_fastsum_build(
+                "gaussian", params, Xv, windows, N=32, table_dtype=jnp.bfloat16
+            )
+        )(X)
+        mv = additive_fastsum_matvec
+
     # the timing loop lives inside ONE jit so per-dispatch latency (large
     # through the remote TPU tunnel) is amortized out of the measurement
     @jax.jit
     def run(plan, v):
         def body(i, y):
             y = y / jnp.linalg.norm(y)
-            return additive_fastsum_matvec(plan, y)
+            return mv(plan, y)
 
         return jax.lax.fori_loop(0, iters, body, v)
 

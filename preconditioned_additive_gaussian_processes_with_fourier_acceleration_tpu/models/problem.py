@@ -28,6 +28,50 @@ from .transforms import transform_inverse
 from .adam import adam_run
 
 
+def _stream_ops(plan, table_dtype):
+    """(matvec, dmatvec) on the streamed packed-table Pallas kernels.
+
+    Both are custom_vmap-wrapped so SLQ's vmap over Rademacher probes
+    (solvers/lanczos.py) dispatches to the multi-RHS kernels — all probes
+    share ONE phase-table stream per pass instead of re-reading the table
+    per probe (the matvec is HBM-bound, ROOFLINE.md).  Single-RHS callers
+    (FGMRES/PCG) hit the primal kernels unchanged.
+    """
+    from jax import custom_batching
+
+    pn = fs.packed_ndft_plan(plan, table_dtype=table_dtype)
+    interp = jax.default_backend() == "cpu"   # Mosaic is TPU-only
+    # upcast=True: bf16 table blocks upcast to f32 in VMEM before the dots —
+    # measured SAME speed as direct-bf16 MXU operands on v5e (the matvec is
+    # HBM-bound either way) and ~1.7x more accurate (.r3_probe6.json).
+    # bf16 tables bound the accuracy anyway, so single-pass (default) MXU
+    # dots; f32 tables (the accuracy mode) get full bf16x6 passes.
+    prec = "default" if table_dtype == jnp.bfloat16 else "highest"
+    kw = dict(interpret=interp, upcast=True, prec=prec)
+
+    # the plan is an explicit argument (NOT a closure): custom_vmap lifts
+    # the function into a primitive, and closed-over tracers (the plan is
+    # built inside jit) have no constant handler there.
+
+    @custom_batching.custom_vmap
+    def _mv(pn_, v):
+        return fs.packed_ndft_matvec(pn_, v, **kw)
+
+    @_mv.def_vmap
+    def _matvec_rule(axis_size, in_batched, pn_, vb):
+        return fs.packed_ndft_matvec_batch(pn_, vb, **kw), True
+
+    @custom_batching.custom_vmap
+    def _dmv(pn_, v):
+        return fs.packed_ndft_grad_matvec(pn_, v, **kw)
+
+    @_dmv.def_vmap
+    def _dmatvec_rule(axis_size, in_batched, pn_, vb):
+        return fs.packed_ndft_grad_matvec_batch(pn_, vb, **kw), True
+
+    return (lambda v: _mv(pn, v)), (lambda v: _dmv(pn, v))
+
+
 @dataclass
 class GPProblem:
     """User-facing GP regression problem (ref gp_problem.h:20-75).
@@ -63,6 +107,15 @@ class GPProblem:
     # fastsum regularization is always-on, nfft_interface.c:18-27), else 0.
     fastsum_fused: bool = False        # packed Pallas fused-phase matvecs
     # (TPU only; phases regenerated in VMEM instead of HBM tables)
+    fastsum_engine: str = "auto"       # 'table' (XLA folded-NDFT GEMMs) |
+    # 'stream' (streamed packed-table Pallas kernels, additive windows only:
+    # no dot-operand HBM materializations, and SLQ probe batches share ONE
+    # table stream per pass via the multi-RHS kernels — see
+    # ops/fastsum.packed_ndft_matvec_batch; measured r3: 470 us vs the
+    # table path's 517 us bf16 / 961 us f32 at n=2e5,d=10) | 'auto'
+    # (stream on TPU backends, table on CPU).  'stream' falls back to
+    # 'table' for non-additive problems.  On CPU backends the kernels run
+    # in interpret mode (tests); on TPU they compile with Mosaic.
     seed: int = 0
     mask: tuple = (1, 1, 1)      # which of (f, l, mu) receive gradients
 
@@ -115,6 +168,11 @@ class GPProblem:
                     )
                 )(geom)
 
+            use_stream = self.fastsum_engine == "stream" or (
+                self.fastsum_engine == "auto"
+                and jax.default_backend() not in ("cpu",)
+            )
+
             def build(params):
                 plan = fs.additive_fastsum_coeffs(
                     self.kernel, params, geom,
@@ -122,6 +180,8 @@ class GPProblem:
                     nearfield_lfil=self._nf_lfil(),
                     nf_patterns=nf_pats,
                 )
+                if use_stream:
+                    return _stream_ops(plan, tdt)
                 if self.fastsum_fused:
                     return (
                         lambda v: fs.additive_fastsum_matvec_fused(plan, v),
@@ -318,7 +378,7 @@ class GPProblem:
                 "kernel", "operator", "precond", "transform", "rank", "lfil",
                 "maxits", "nvecs", "tol", "fastsum_N", "fastsum_table_dtype",
                 "fastsum_oversample", "fastsum_nearfield_lfil", "fastsum_fused",
-                "seed",
+                "fastsum_engine", "seed",
             )
         }
         np.savez(

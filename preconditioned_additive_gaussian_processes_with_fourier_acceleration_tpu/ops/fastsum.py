@@ -190,14 +190,31 @@ def _fold_maps(N: int, d: int):
 
 
 def fold_coeffs(b, N: int, d: int):
-    """Fold a full shifted-order coefficient tensor to (nS,) + (P,)*d."""
-    idx, signs = _fold_maps(N, d)
+    """Fold a full shifted-order coefficient tensor to (nS,) + (P,)*d.
+
+    The fold map is separable (p_j = |k_j|, sigma_j = sign(k_j)), so it is
+    d tiny static (P, N) matmuls per sign set — NOT a scatter-add:
+    gather/scatter lowering on the tunneled TPU backend has pathological
+    compile times (see kernels._window_slice).  Each map row has at most
+    two unit entries, so the contraction is exact in f32.
+    """
+    H = N // 2
     P = _nmodes(N)
-    bf = b.reshape(-1)
-    w = jax.vmap(
-        lambda s: jax.ops.segment_sum(bf * s, jnp.asarray(idx), num_segments=P**d)
-    )(jnp.asarray(signs, b.dtype))
-    return w.reshape((len(_EVEN_SETS[d]),) + (P,) * d)
+    k = np.arange(N) - H
+    p = np.abs(k)
+    sgn = np.where(k >= 0, 1.0, -1.0)
+    A0 = (np.arange(P)[:, None] == p[None, :]).astype(np.float64)
+    A1 = A0 * sgn[None, :]
+    outs = []
+    for S in _EVEN_SETS[d]:
+        t = b.reshape((N,) * d)
+        for j in range(d):
+            A = jnp.asarray(A1 if j in S else A0, b.dtype)
+            tj = jnp.moveaxis(t, j, 0)
+            tj = jnp.tensordot(A, tj, axes=([1], [0]), precision="highest")
+            t = jnp.moveaxis(tj, 0, j)
+        outs.append(t)
+    return jnp.stack(outs)
 
 
 def _torus_grid_r2(N: int, d: int, dtype):
@@ -662,10 +679,18 @@ def additive_fastsum_geometry(X, windows, N: int = 32,
 
     groups = []
     for dw, members in sorted(by_dim.items()):
-        geos = [
-            fastsum_geometry(X[:, list(feats)], N, table_dtype=table_dtype)
-            for _, feats in members
-        ]
+        # column selection as a one-hot matmul, not a gather: gather/scatter
+        # lowering on the tunneled TPU backend has pathological compile
+        # times (see kernels._window_slice)
+        d = X.shape[1]
+        geos = []
+        for _, feats in members:
+            S = np.zeros((d, len(feats)), np.float32)
+            for j, f in enumerate(feats):
+                S[f, j] = 1.0
+            # highest precision: exact pass-through of the data columns
+            Xw = jnp.matmul(X, jnp.asarray(S, X.dtype), precision="highest")
+            geos.append(fastsum_geometry(Xw, N, table_dtype=table_dtype))
         batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *geos)
         order = tuple(w for w, _ in members)
         groups.append((dw, order, batched))
@@ -992,17 +1017,23 @@ def packed_ndft_plan(plan: AdditiveFastsumPlan, *, table_dtype=None,
 
 
 def _packed_ndft_apply(pn: PackedNDFT, x, weight_sel, *, prec: str,
-                       interpret: bool):
-    """Streamed-kernel analog of _packed_apply (weights pre-trimmed)."""
+                       interpret: bool, upcast: bool = False):
+    """Streamed-kernel analog of _packed_apply (weights pre-trimmed).
+
+    upcast=True upcasts bf16 table blocks to f32 in VMEM before the dots
+    (the accuracy mode); default streams them straight into the MXU as
+    bf16 operands with f32 accumulation (measured faster, accuracy equal
+    to the bf16 XLA table path)."""
     from .pallas_ndft import packed_adjoint, packed_forward
 
+    gen = "table_f32" if upcast else "table"
     nsets = len(weight_sel)
     accs = [jnp.zeros_like(x) for _ in range(nsets)]
 
     if pn.Tp is not None:
         A2, A1 = packed_adjoint(
             pn.Tp, x, P=pn.P, pairs=pn.pairs, singles=pn.singles,
-            block=pn.block, interpret=interpret, prec=prec, phase_gen="table",
+            block=pn.block, interpret=interpret, prec=prec, phase_gen=gen,
         )
         G2_sets, G1_sets = [], []
         for sel, _ in weight_sel:
@@ -1017,7 +1048,7 @@ def _packed_ndft_apply(pn: PackedNDFT, x, weight_sel, *, prec: str,
         ys = packed_forward(
             pn.Tp, G2_sets, G1_sets, P=pn.P, pairs=pn.pairs,
             singles=pn.singles, block=pn.block, interpret=interpret,
-            prec=prec, phase_gen="table", n_out=pn.n,
+            prec=prec, phase_gen=gen, n_out=pn.n,
         )
         for s in range(nsets):
             accs[s] = accs[s] + ys[s]
@@ -1050,22 +1081,155 @@ def _packed_ndft_apply(pn: PackedNDFT, x, weight_sel, *, prec: str,
 
 
 def packed_ndft_matvec(pn: PackedNDFT, x, *, prec: str = "highest",
-                       interpret: bool = False):
+                       interpret: bool = False, upcast: bool = False):
     """y = f^2 (mean_w ksum_w(x) + mu x) on the streamed packed kernels."""
     p = pn.params
     (acc,) = _packed_ndft_apply(pn, x, [("w", "nf_val")], prec=prec,
-                                interpret=interpret)
+                                interpret=interpret, upcast=upcast)
     f2 = p.f * p.f
     return f2 * (acc / pn.n_windows + p.mu * x)
 
 
+def packed_ndft_matvec_batch(pn: PackedNDFT, Xb, *, prec: str = "highest",
+                             interpret: bool = False, upcast: bool = False):
+    """Batched y = K @ x_r for nv RHS sharing ONE table stream per pass.
+
+    Xb: (nv, n).  The adjoint kernel streams each table block once and runs
+    all nv probe GEMMs on it in VMEM; the forward treats the nv combined
+    mode tensors as nv weight sets of one pass (packed_forward nsets).
+    HBM traffic is therefore ~1/nv of nv separate matvecs — the SLQ /
+    trace-estimation probe batches (solvers/lanczos.py) are exactly this
+    shape.  Ref: the reference runs probe loops serially
+    (SRC/solvers/lanczos.c probe loop); on TPU the batch IS the kernel.
+    """
+    from .pallas_ndft import packed_adjoint, packed_forward
+
+    p = pn.params
+    nv, n = Xb.shape
+    gen = "table_f32" if upcast else "table"
+    acc = jnp.zeros_like(Xb)
+
+    if pn.Tp is not None:
+        A2, A1 = packed_adjoint(
+            pn.Tp, Xb, P=pn.P, pairs=pn.pairs, singles=pn.singles,
+            block=pn.block, interpret=interpret, prec=prec, phase_gen=gen,
+        )
+        G2_sets = [
+            [_folded_combine(pn.w2[i], A2[i][r], 2) for i in range(len(pn.pairs))]
+            for r in range(nv)
+        ]
+        G1_sets = [
+            [_folded_combine(pn.w1[i], A1[i][r], 1) for i in range(len(pn.singles))]
+            for r in range(nv)
+        ]
+        ys = packed_forward(
+            pn.Tp, G2_sets, G1_sets, P=pn.P, pairs=pn.pairs,
+            singles=pn.singles, block=pn.block, interpret=interpret,
+            prec=prec, phase_gen=gen, n_out=pn.n,
+        )
+        acc = acc + jnp.stack(ys)
+        for trip in list(pn.nf2) + list(pn.nf1):
+            if trip is not None:
+                idx, val, _ = trip
+                acc = acc + jax.vmap(lambda v: nearfield_matvec(idx, val, v))(Xb)
+
+    for dw, order, plans in pn.rest:
+        contrib = jax.vmap(
+            lambda pl_: jnp.stack(
+                [_folded_apply_multi(pl_.geom.Tcs, [pl_.w], Xb[r])[0]
+                 for r in range(nv)]
+            )
+            + (
+                jax.vmap(lambda v: nearfield_matvec(pl_.nf_idx, pl_.nf_val, v))(Xb)
+                if pl_.nf_val is not None
+                else 0.0
+            )
+        )(plans)
+        acc = acc + jnp.sum(contrib, axis=0)
+
+    f2 = p.f * p.f
+    return f2 * (acc / pn.n_windows + p.mu * Xb)
+
+
+def packed_ndft_grad_matvec_batch(pn: PackedNDFT, Xb, *, prec: str = "highest",
+                                  interpret: bool = False,
+                                  upcast: bool = False):
+    """Batched (nv, 3, n) gradient matvecs sharing one table stream per pass.
+
+    The forward runs 2*nv weight sets (K and dK/dl per probe) on one
+    stream; f/mu rows are closed-form.  SLQ's dmatvec-per-probe
+    (solvers/lanczos.py one_probe) is the caller.
+    """
+    from .pallas_ndft import packed_adjoint, packed_forward
+
+    p = pn.params
+    nv, n = Xb.shape
+    gen = "table_f32" if upcast else "table"
+    k_acc = jnp.zeros_like(Xb)
+    l_acc = jnp.zeros_like(Xb)
+
+    if pn.Tp is not None:
+        A2, A1 = packed_adjoint(
+            pn.Tp, Xb, P=pn.P, pairs=pn.pairs, singles=pn.singles,
+            block=pn.block, interpret=interpret, prec=prec, phase_gen=gen,
+        )
+        G2_sets, G1_sets = [], []
+        for r in range(nv):
+            for wsel2, wsel1 in ((pn.w2, pn.w1), (pn.dw2, pn.dw1)):
+                G2_sets.append(
+                    [_folded_combine(wsel2[i], A2[i][r], 2)
+                     for i in range(len(pn.pairs))]
+                )
+                G1_sets.append(
+                    [_folded_combine(wsel1[i], A1[i][r], 1)
+                     for i in range(len(pn.singles))]
+                )
+        ys = packed_forward(
+            pn.Tp, G2_sets, G1_sets, P=pn.P, pairs=pn.pairs,
+            singles=pn.singles, block=pn.block, interpret=interpret,
+            prec=prec, phase_gen=gen, n_out=pn.n,
+        )
+        k_acc = k_acc + jnp.stack(ys[0::2])
+        l_acc = l_acc + jnp.stack(ys[1::2])
+        for trip in list(pn.nf2) + list(pn.nf1):
+            if trip is not None:
+                idx, val, dval = trip
+                k_acc = k_acc + jax.vmap(
+                    lambda v: nearfield_matvec(idx, val, v))(Xb)
+                l_acc = l_acc + jax.vmap(
+                    lambda v: nearfield_matvec(idx, dval, v))(Xb)
+
+    for dw, order, plans in pn.rest:
+        for r in range(nv):
+            x = Xb[r]
+            kc = jax.vmap(
+                lambda pl_: _folded_apply_multi(pl_.geom.Tcs, [pl_.w], x)[0]
+                + (nearfield_matvec(pl_.nf_idx, pl_.nf_val, x)
+                   if pl_.nf_val is not None else 0.0)
+            )(plans)
+            lc = jax.vmap(
+                lambda pl_: _folded_apply_multi(pl_.geom.Tcs, [pl_.dw_l], x)[0]
+                + (nearfield_matvec(pl_.nf_idx, pl_.nf_dval, x)
+                   if pl_.nf_val is not None else 0.0)
+            )(plans)
+            k_acc = k_acc.at[r].add(jnp.sum(kc, axis=0))
+            l_acc = l_acc.at[r].add(jnp.sum(lc, axis=0))
+
+    W = pn.n_windows
+    f2 = p.f * p.f
+    y_f = 2.0 * p.f * (k_acc / W + p.mu * Xb)
+    y_l = f2 * (l_acc / W)
+    y_mu = f2 * Xb
+    return jnp.stack([y_f, y_l, y_mu], axis=1)          # (nv, 3, n)
+
+
 def packed_ndft_grad_matvec(pn: PackedNDFT, x, *, prec: str = "highest",
-                            interpret: bool = False):
+                            interpret: bool = False, upcast: bool = False):
     """(3, n) gradient matvec; K and dK/dl share one table stream per pass."""
     p = pn.params
     k_acc, l_acc = _packed_ndft_apply(
         pn, x, [("w", "nf_val"), ("dw_l", "nf_dval")], prec=prec,
-        interpret=interpret,
+        interpret=interpret, upcast=upcast,
     )
     W = pn.n_windows
     f2 = p.f * p.f

@@ -166,15 +166,23 @@ def make_windows(window_list, dtype=jnp.int32):
 
 
 def _window_slice(X, window):
-    """Gather window features of X with -1 padding zeroed out.
+    """Select window features of X with -1 padding zeroed out.
 
     A padded column contributes 0 to every squared distance, so zeroing the
-    gathered feature (gather at index 0, multiply by mask) reproduces the
-    reference's skip logic (kernels.c:3054-3060) with static shapes.
+    selected feature reproduces the reference's skip logic
+    (kernels.c:3054-3060) with static shapes.  The selection is a one-hot
+    matmul (n,d)@(d,dw) rather than a gather: d and dw are tiny, the MXU
+    does it for free, and gather/scatter lowering on the tunneled TPU
+    backend has pathological compile times (measured 48 s for a (256,4)
+    column gather vs <1 s for the equivalent matmul).
     """
     mask = (window >= 0).astype(X.dtype)
     idx = jnp.maximum(window, 0)
-    return X[:, idx] * mask[None, :]
+    d = X.shape[1]
+    S = (idx[None, :] == jnp.arange(d)[:, None]).astype(X.dtype)  # (d, dw)
+    # highest precision: S is one-hot, so the product must pass X through
+    # EXACTLY (default TPU precision would round the data to bf16)
+    return jnp.matmul(X, S * mask[None, :], precision="highest")
 
 
 def _additive_r2(X, Y, windows):

@@ -123,13 +123,21 @@ def _get_T6(phase_gen: str, src, P: int):
     stream a pre-packed table block (src = (Dtot*WR, B), 'table' mode —
     see pack_phase_table; 2-D layout because 3-D input BlockSpecs hang the
     Mosaic compile on the tunneled backend, measured r3).  The leading-axis
-    split to (Dtot, WR, B) is a free sublane-preserving view.  Narrow table
-    dtypes are upcast in VMEM so the dots run f32 (accuracy =
-    phase-rounding only, like the bf16 table path)."""
-    if phase_gen == "table":
+    split to (Dtot, WR, B) is a free sublane-preserving view.
+
+    'table' keeps the stored dtype: f32 tables dot at the chosen MXU
+    precision; bf16 tables feed the MXU DIRECTLY as bf16 operands with f32
+    accumulation (preferred_element_type) — upcasting the whole block to
+    f32 in VMEM first (the r3-initial design) costs a VPU cast of every
+    streamed element and measured SLOWER with no accuracy gain at DEFAULT
+    precision (the MXU rounds f32 operands to bf16 anyway).
+    'table_f32' is that upcasting variant, kept as the accuracy mode: the
+    alpha product and the mode-row reductions then run f32 on the VPU."""
+    if phase_gen in ("table", "table_f32"):
         WR = _wrows(P)
         rows, B = src.shape
-        return src.reshape(rows // WR, WR, B).astype(jnp.float32)
+        T6 = src.reshape(rows // WR, WR, B)
+        return T6.astype(jnp.float32) if phase_gen == "table_f32" else T6
     return _PHASE_GEN[phase_gen](src, P)
 
 
@@ -178,28 +186,40 @@ def _precision(name: str):
 
 # --- adjoint ----------------------------------------------------------------
 
-def _adjoint_kernel(P, pairs, singles, groups, prec, phase_gen,
+def _adjoint_kernel(P, pairs, singles, groups, nv, prec, phase_gen,
                     src_ref, a_ref, *out_refs):
+    """nv right-hand sides share ONE table/phase stream per block: each
+    probe's adjoint is an extra pair of GEMMs on data already in VMEM —
+    the HBM table traffic (the matvec's wall, ROOFLINE.md) is paid once.
+    Per-RHS results are stacked along rows of the 2-D outputs (3-D blocks
+    hang Mosaic on this backend, see _get_T6)."""
     i = pl.program_id(0)
     T6 = _get_T6(phase_gen, src_ref[...], P)
-    a = a_ref[:, :]                                          # (1, B)
+    # bf16 streaming: round alpha once (equivalent to the MXU's operand
+    # rounding of the product) so the big elementwise multiply runs bf16
+    # and the dot takes native bf16 operands with f32 accumulation.
+    a_all = a_ref[:, :].astype(T6.dtype)                     # (nv, B)
     precision = _precision(prec)
 
     for g, out_ref in zip(groups, out_refs[: len(groups)]):
         L0 = jnp.concatenate([T6[pairs[w][0]] for w in g], axis=0)
         L1 = jnp.concatenate([T6[pairs[w][1]] for w in g], axis=0)
-        M = _dot(L0 * a, L1, (((1,), (1,)), ((), ())), precision)
+        rows = L0.shape[0]
 
         @pl.when(i == 0)
         def _():
             out_ref[:, :] = jnp.zeros_like(out_ref)
 
-        out_ref[:, :] += M.astype(out_ref.dtype)
+        for r in range(nv):
+            a = a_all[r : r + 1, :]                          # (1, B)
+            M = _dot(L0 * a, L1, (((1,), (1,)), ((), ())), precision)
+            out_ref[r * rows : (r + 1) * rows, :] += M.astype(out_ref.dtype)
 
     if singles:
         out_ref = out_refs[len(groups)]
         Ls = jnp.concatenate([T6[j] for j in singles], axis=0)
-        v = _dot(Ls, a, (((1,), (1,)), ((), ())), precision)
+        # one dot covers all RHS: (rows1, B) @ (B, nv)
+        v = _dot(Ls, a_all, (((1,), (1,)), ((), ())), precision)
 
         @pl.when(i == 0)
         def _():
@@ -254,19 +274,24 @@ def packed_adjoint(xT, alpha, *, P: int, pairs: tuple, singles: tuple = (),
     xT: (Dtot, n) scaled window coordinates (dim-major rows), OR with
         phase_gen='table' a pre-packed (Dtot, WR, npad) phase table
         (pack_phase_table) — streamed per block instead of regenerated.
-    alpha: (n,)
+    alpha: (n,) — or (nv, n) for a BATCH of right-hand sides sharing one
+        table stream (SLQ probe batches: the HBM traffic is paid once for
+        all nv, ROOFLINE.md "multi-RHS" lever).
     pairs: per-2-D-window (ja, jb) row indices into xT
     singles: per-1-D-window row index into xT
     Returns (A2, A1): A2 = list of (2P, 2P) per 2-D window (matches
     fastsum._folded_adjoint for d=2), A1 = list of (2P,) per 1-D window.
+    For batched alpha each entry gains a leading (nv,) axis.
     """
-    table_mode = phase_gen == "table"
+    table_mode = phase_gen in ("table", "table_f32")
     WR = _wrows(P)
+    batched = alpha.ndim == 2
+    nv = alpha.shape[0] if batched else 1
     if table_mode:
         rows, npad = xT.shape
         Dtot = rows // WR
         nb = npad // block
-        n = alpha.shape[0]
+        n = alpha.shape[-1]
         src = xT
         src_spec = pl.BlockSpec((rows, block), lambda i: (0, i))
     else:
@@ -276,26 +301,29 @@ def packed_adjoint(xT, alpha, *, P: int, pairs: tuple, singles: tuple = (),
         src = jnp.zeros((Dtot, npad), xT.dtype).at[:, :n].set(xT)
         src_spec = pl.BlockSpec((Dtot, block), lambda i: (0, i))
     dtype = alpha.dtype
-    ap = jnp.zeros((1, npad), dtype).at[0, :n].set(alpha)
+    a2d = alpha if batched else alpha[None, :]
+    ap = jnp.zeros((nv, npad), dtype).at[:, :n].set(a2d)
 
     groups = _group_windows(len(pairs), P)
     out_shapes = [
-        jax.ShapeDtypeStruct((WR * len(g), WR * len(g)), dtype) for g in groups
+        jax.ShapeDtypeStruct((nv * WR * len(g), WR * len(g)), dtype)
+        for g in groups
     ]
     out_specs = [
-        pl.BlockSpec((WR * len(g), WR * len(g)), lambda i: (0, 0)) for g in groups
+        pl.BlockSpec((nv * WR * len(g), WR * len(g)), lambda i: (0, 0))
+        for g in groups
     ]
     if singles:
-        out_shapes.append(jax.ShapeDtypeStruct((WR * len(singles), 1), dtype))
-        out_specs.append(pl.BlockSpec((WR * len(singles), 1), lambda i: (0, 0)))
+        out_shapes.append(jax.ShapeDtypeStruct((WR * len(singles), nv), dtype))
+        out_specs.append(pl.BlockSpec((WR * len(singles), nv), lambda i: (0, 0)))
 
     outs = pl.pallas_call(
-        functools.partial(_adjoint_kernel, P, pairs, singles, groups, prec,
-                          phase_gen),
+        functools.partial(_adjoint_kernel, P, pairs, singles, groups, nv,
+                          prec, phase_gen),
         grid=(nb,),
         in_specs=[
             src_spec,
-            pl.BlockSpec((1, block), lambda i: (0, i)),
+            pl.BlockSpec((nv, block), lambda i: (0, i)),
         ],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
@@ -304,16 +332,21 @@ def packed_adjoint(xT, alpha, *, P: int, pairs: tuple, singles: tuple = (),
 
     A2 = []
     for gi, g in enumerate(groups):
-        Mg = outs[gi]
+        rows_g = WR * len(g)
+        Mg = outs[gi].reshape(nv, rows_g, rows_g)
         for k, w in enumerate(g):
-            A2.append(_unpad_A(Mg[k * WR : (k + 1) * WR, k * WR : (k + 1) * WR], P))
+            blocks = jax.vmap(lambda M: _unpad_A(M, P))(
+                Mg[:, k * WR : (k + 1) * WR, k * WR : (k + 1) * WR]
+            )
+            A2.append(blocks if batched else blocks[0])
     A1 = []
     if singles:
-        v = outs[len(groups)][:, 0]
+        v = outs[len(groups)]                                # (rows1, nv)
         RP = _rpad(P)
         for k in range(len(singles)):
             blockv = v[k * WR : (k + 1) * WR]
-            A1.append(jnp.concatenate([blockv[:P], blockv[RP : RP + P]]))
+            vec = jnp.concatenate([blockv[:P], blockv[RP : RP + P]], axis=0).T
+            A1.append(vec if batched else vec[0])
     return A2, A1
 
 
@@ -331,22 +364,30 @@ def _forward_kernel(P, pairs, singles, groups, nsets, prec, phase_gen,
     T6 = _get_T6(phase_gen, src_ref[...], P)
     B = T6.shape[-1]
 
+    # bf16 streaming: the G @ L1 dot takes native bf16 operands (G rounded
+    # once — same rounding the MXU applies at DEFAULT precision anyway);
+    # the row-reduction multiply upcasts L0 to f32 ONCE per block, shared
+    # across weight sets, so the f32 accumulation of y is preserved.
     L0s, L1s = [], []
     for g in groups:
-        L0s.append(jnp.concatenate([T6[pairs[w][0]] for w in g], axis=0))
+        L0s.append(
+            jnp.concatenate([T6[pairs[w][0]] for w in g], axis=0)
+            .astype(jnp.float32)
+        )
         L1s.append(jnp.concatenate([T6[pairs[w][1]] for w in g], axis=0))
     if singles:
         Ls = jnp.concatenate([T6[j] for j in singles], axis=0)
+    tdt = T6.dtype
 
     for s in range(nsets):
         acc = jnp.zeros((1, B), jnp.float32)
         for gi in range(len(groups)):
-            G = in_refs[s * len(groups) + gi][:, :]
+            G = in_refs[s * len(groups) + gi][:, :].astype(tdt)
             Z = _dot(G, L1s[gi], (((1,), (0,)), ((), ())), precision)
             acc += jnp.sum(L0s[gi] * Z, axis=0, keepdims=True)
         if singles:
-            bvec = in_refs[n_g_in + s][:, :]                 # (rows1, 1)
-            acc += jnp.sum(Ls * bvec, axis=0, keepdims=True)
+            bvec = in_refs[n_g_in + s][:, :].astype(jnp.float32)  # (rows1, 1)
+            acc += jnp.sum(Ls.astype(jnp.float32) * bvec, axis=0, keepdims=True)
         y_refs[s][:, :] = acc.astype(y_refs[s].dtype)
 
 
@@ -368,7 +409,7 @@ def packed_forward(xT, G2_sets, G1_sets=None, *, P: int, pairs: tuple,
     G1_sets: list (per weight set) of lists of (2P,) per 1-D window.
     Returns list of y (n,) per weight set.
     """
-    table_mode = phase_gen == "table"
+    table_mode = phase_gen in ("table", "table_f32")
     WR = _wrows(P)
     if table_mode:
         rows, npad = xT.shape

@@ -176,14 +176,18 @@ def main():
         if parts[0] == "table":
             return dict(path="table", tdt=parts[1], prec=parts[2] if len(parts) > 2 else "highest")
         if parts[0] == "stream":
-            return dict(path="stream", tdt=parts[1], prec=parts[2])
+            # 'bf16u' = upcast-to-f32-in-VMEM accuracy mode
+            tdt = parts[1]
+            return dict(path="stream", tdt=tdt.rstrip("u"), prec=parts[2],
+                        upcast=tdt.endswith("u"))
         return dict(path="fused", gen=parts[1], prec=parts[2])
 
     def make_matvec(spec, plan):
         if spec["path"] == "table":
             return lambda pl_, x: fs.additive_fastsum_matvec(pl_, x)
         if spec["path"] == "stream":
-            return lambda pn_, x: fs.packed_ndft_matvec(pn_, x, prec=spec["prec"])
+            return lambda pn_, x: fs.packed_ndft_matvec(
+                pn_, x, prec=spec["prec"], upcast=spec["upcast"])
         return lambda pl_, x: fs.additive_fastsum_matvec_fused(
             pl_, x, block=args.block, prec=spec["prec"], phase_gen=spec["gen"]
         )
@@ -192,7 +196,8 @@ def main():
         if spec["path"] == "table":
             return lambda pl_, x: fs.additive_fastsum_grad_matvec(pl_, x)
         if spec["path"] == "stream":
-            return lambda pn_, x: fs.packed_ndft_grad_matvec(pn_, x, prec=spec["prec"])
+            return lambda pn_, x: fs.packed_ndft_grad_matvec(
+                pn_, x, prec=spec["prec"], upcast=spec["upcast"])
         return lambda pl_, x: fs.additive_fastsum_grad_matvec_fused(
             pl_, x, block=args.block, prec=spec["prec"], phase_gen=spec["gen"]
         )

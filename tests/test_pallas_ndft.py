@@ -124,8 +124,21 @@ def test_phase_gen_doubling_matches_direct(P):
     np.testing.assert_allclose(a[:, RP : RP + P], b[:, RP : RP + P], atol=5e-6)
 
 
-@pytest.mark.parametrize("table_dtype", [None, jnp.bfloat16])
-def test_packed_ndft_streamed_matches_table(table_dtype):
+@pytest.mark.parametrize(
+    "table_dtype,upcast,tol_full,tol_trim",
+    [
+        (None, False, 2e-5, 6e-3),
+        # upcast mode: only the stored phases are bf16-rounded (table-path
+        # equivalent accuracy)
+        (jnp.bfloat16, True, 4e-3, 6e-3),
+        # direct-MXU mode: alpha and the combined weights round to bf16 as
+        # operands too (the speed mode — one rounding per dot, like the
+        # MXU's own DEFAULT-precision operand rounding)
+        (jnp.bfloat16, False, 2.5e-2, 2.5e-2),
+    ],
+)
+def test_packed_ndft_streamed_matches_table(table_dtype, upcast, tol_full,
+                                            tol_trim):
     """Streamed-table packed plan == table path (edge-trim tolerance)."""
     from nfft4gp_tpu.ops.fastsum import (
         packed_ndft_plan,
@@ -146,25 +159,24 @@ def test_packed_ndft_streamed_matches_table(table_dtype):
     # untrimmed: exact vs the table path (f32 roundoff / bf16 phase rounding)
     pn_full = packed_ndft_plan(plan, table_dtype=table_dtype, block=128,
                                edge_trim=False)
-    out_full = packed_ndft_matvec(pn_full, x, interpret=True)
-    tol = 4e-3 if table_dtype is not None else 2e-5
+    out_full = packed_ndft_matvec(pn_full, x, interpret=True, upcast=upcast)
     errf = np.linalg.norm(np.asarray(out_full) - np.asarray(ref))
-    assert errf / np.linalg.norm(np.asarray(ref)) < tol
+    assert errf / np.linalg.norm(np.asarray(ref)) < tol_full
 
     # trimmed default: pad-free layout; Nyquist-mode difference only
     # (~7e-4 rel here — it moves the operator TOWARD the dense oracle)
     pn = packed_ndft_plan(plan, table_dtype=table_dtype, block=128)
     assert pn.P == 16 and pn.Tp.shape[0] % 32 == 0  # pad-free trimmed layout
-    out = packed_ndft_matvec(pn, x, interpret=True)
+    out = packed_ndft_matvec(pn, x, interpret=True, upcast=upcast)
     err = np.linalg.norm(np.asarray(out) - np.asarray(ref))
     err /= np.linalg.norm(np.asarray(ref))
-    assert err < 6e-3
+    assert err < tol_trim
 
-    dout = packed_ndft_grad_matvec(pn, x, interpret=True)
+    dout = packed_ndft_grad_matvec(pn, x, interpret=True, upcast=upcast)
     for j in range(3):
         derr = np.linalg.norm(np.asarray(dout[j]) - np.asarray(dref[j]))
         dnorm = np.linalg.norm(np.asarray(dref[j]))
-        assert derr / max(dnorm, 1e-12) < 9e-3, f"grad {j}"
+        assert derr / max(dnorm, 1e-12) < max(9e-3, 3 * tol_trim), f"grad {j}"
 
 
 def test_packed_ndft_streamed_3d_rest():
@@ -188,3 +200,54 @@ def test_packed_ndft_streamed_3d_rest():
                              interpret=True)
     err = np.linalg.norm(np.asarray(out) - np.asarray(ref))
     assert err / np.linalg.norm(np.asarray(ref)) < 6e-3
+
+
+def test_packed_ndft_matvec_batch_matches_single():
+    """nv RHS sharing one table stream == nv single-RHS matvecs."""
+    from nfft4gp_tpu.ops.fastsum import (
+        packed_ndft_plan,
+        packed_ndft_matvec,
+        packed_ndft_matvec_batch,
+    )
+
+    rng = np.random.default_rng(17)
+    n, d, nv = 384, 7, 4
+    X = jnp.asarray(rng.uniform(size=(n, d)), jnp.float32)
+    p = KernelParams.make(0.9, 0.4, 0.05, dtype=jnp.float32)
+    windows = make_windows([[0, 1], [2, 3], [4, 5], [6]])
+    plan = additive_fastsum_build("gaussian", p, X, windows, N=16)
+    pn = packed_ndft_plan(plan, block=128)
+    Xb = jnp.asarray(rng.normal(size=(nv, n)), jnp.float32)
+
+    Yb = packed_ndft_matvec_batch(pn, Xb, interpret=True)
+    assert Yb.shape == (nv, n)
+    for r in range(nv):
+        y1 = packed_ndft_matvec(pn, Xb[r], interpret=True)
+        err = np.linalg.norm(np.asarray(Yb[r]) - np.asarray(y1))
+        err /= np.linalg.norm(np.asarray(y1))
+        assert err < 1e-6, f"rhs {r}: {err}"
+
+
+def test_packed_ndft_grad_matvec_batch_matches_single():
+    from nfft4gp_tpu.ops.fastsum import (
+        packed_ndft_plan,
+        packed_ndft_grad_matvec,
+        packed_ndft_grad_matvec_batch,
+    )
+
+    rng = np.random.default_rng(19)
+    n, d, nv = 320, 5, 3
+    X = jnp.asarray(rng.uniform(size=(n, d)), jnp.float32)
+    p = KernelParams.make(0.8, 0.6, 0.03, dtype=jnp.float32)
+    windows = make_windows([[0, 1], [2, 3], [4]])
+    plan = additive_fastsum_build("gaussian", p, X, windows, N=16)
+    pn = packed_ndft_plan(plan, block=128)
+    Xb = jnp.asarray(rng.normal(size=(nv, n)), jnp.float32)
+
+    Db = packed_ndft_grad_matvec_batch(pn, Xb, interpret=True)
+    assert Db.shape == (nv, 3, n)
+    for r in range(nv):
+        d1 = packed_ndft_grad_matvec(pn, Xb[r], interpret=True)
+        err = np.linalg.norm(np.asarray(Db[r]) - np.asarray(d1))
+        err /= np.linalg.norm(np.asarray(d1))
+        assert err < 1e-6, f"rhs {r}: {err}"

@@ -62,3 +62,30 @@ def test_fastsum_predict_matches_dense(synth):
     np.testing.assert_allclose(
         np.asarray(fast.std), np.asarray(dense.std), rtol=2e-2, atol=2e-3
     )
+
+
+def test_problem_stream_engine_matches_table():
+    """fastsum_engine='stream' loss == 'table' loss (interpret-mode Pallas)."""
+    rng = np.random.default_rng(23)
+    n = 96
+    X = jnp.asarray(rng.uniform(size=(n, 4)), jnp.float32)
+    y = jnp.asarray(
+        np.sin(3 * np.asarray(X[:, 0])) + 0.1 * rng.normal(size=n), jnp.float32
+    )
+    kw = dict(
+        kernel="gaussian", windows=[[0, 1], [2, 3]], operator="fastsum",
+        precond="nystrom", rank=16, maxits=6, nvecs=4, fastsum_N=16,
+        fastsum_table_dtype=None, seed=3,
+    )
+    lt = GPProblem(fastsum_engine="table", **kw).make_loss(X, y)
+    ls = GPProblem(fastsum_engine="stream", **kw).make_loss(X, y)
+    raw = transform_inverse("softplus", jnp.asarray([1.0, 0.5, 0.1], jnp.float32))
+    loss_t, grad_t = lt(raw)
+    loss_s, grad_s = ls(raw)
+    assert bool(jnp.isfinite(loss_s))
+    # same probes; engines differ by the edge-trimmed Nyquist mode
+    # (1 of 16 folded modes per dim at N=16 -> ~1e-2 relative)
+    np.testing.assert_allclose(float(loss_s), float(loss_t), rtol=4e-2)
+    np.testing.assert_allclose(
+        np.asarray(grad_s), np.asarray(grad_t), rtol=2e-1, atol=2e-2
+    )
