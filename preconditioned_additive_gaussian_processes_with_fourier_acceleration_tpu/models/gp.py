@@ -150,7 +150,7 @@ def gp_loss_gaussian_ran_softplus(
     n = X.shape[0]
     k = min(rank, n)
     if perm is None:
-        perm = expand_perm(jnp.arange(k), n)
+        perm = jnp.arange(k)
     cfg = GPConfig(kind="gaussian", maxits=maxits, nvecs=probes.shape[0], tol=tol)
     build = make_dense_ops("gaussian", X)
 

@@ -238,7 +238,10 @@ class GPProblem:
             return setup
         if self.precond == "nystrom":
             k = min(self.rank, n)
-            perm = expand_perm(rand_perm(key, n, k), n)
+            # nystrom_setup only reads the k landmark indices; the full
+            # expand_perm scatter is a compile hazard on the tunneled TPU
+            # backend (see ops/kernels._window_slice)
+            perm = rand_perm(key, n, k)
             return lambda params: nystrom_setup(
                 self.kernel, params, X, perm, k, require_grad=True, windows=warr
             )

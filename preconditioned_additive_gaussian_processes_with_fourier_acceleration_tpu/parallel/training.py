@@ -56,7 +56,7 @@ def make_sharded_train_step(
     def loss_step(raw, X, y, probes):
         n = X.shape[0]
         geom = fs.additive_fastsum_geometry(X, windows, N=fastsum_N)
-        perm = expand_perm(jnp.arange(nys_rank), n)
+        perm = jnp.arange(nys_rank)
 
         def build_ops(params):
             plan = fs.additive_fastsum_coeffs(kernel, params, geom)

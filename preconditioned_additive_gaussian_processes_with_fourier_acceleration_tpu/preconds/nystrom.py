@@ -5,8 +5,16 @@ TPU-native rebuild of SRC/preconds/nys.c:
   landmarks) build the noise-free column block K1 = K(:, perm[:k]) and its
   top block K11; stable cholesky L of K11; factor Uf = K1 L^{-T}; thin SVD
   Uf = U diag(sigma) V'; s_i = 1/(sigma_i^2 + eta), eta = mu f^2
-- solve (nys.c:115-173): M^{-1} r = U S U' r + (r - U U' r)/eta   (in permuted
-  order, with permute/unpermute wrappers)
+- solve (nys.c:115-173): M^{-1} r = U S U' r + (r - U U' r)/eta
+
+Unlike the reference, the factors are stored in ORIGINAL row order: the
+C code permutes so the landmark block is contiguous (nys.c permute/
+unpermute wrappers around every apply), but the preconditioner operator
+itself is permutation-invariant, so building K1 = K(X, X_landmarks)
+directly drops one gather + one scatter from EVERY solve/dvp call — the
+applies become pure GEMMs (and gather lowering on the tunneled TPU
+backend has pathological compile times, see kernels._window_slice).
+Only the k-row landmark selection gathers, once, at setup.
 - logdet (nys.c:489-516): (n-k) log eta + sum log(sigma_i^2 + eta)
 - dvp (nys.c:175-331): y_j = M^{-1} dM_j x with
     dM_j = dK1_j K11^{-1} K1' + K1 K11^{-1} dK1_j' - K1 K11^{-1} dK11_j K11^{-1} K1'
@@ -32,7 +40,7 @@ from ..ops.kernels import kernel_matrix, kernel_matrix_with_grad, KernelParams
 @pytree_dataclass
 class NystromPrecond:
     perm: jnp.ndarray          # (n,) full permutation; first k = landmarks
-    U: jnp.ndarray             # (n, k) left singular vectors of Uf (permuted order)
+    U: jnp.ndarray             # (n, k) left singular vectors of Uf (ORIGINAL row order)
     s: jnp.ndarray             # (k,) 1 / (sigma^2 + eta)
     sigma2: jnp.ndarray        # (k,) sigma^2
     eta: jnp.ndarray           # mu * f^2
@@ -52,20 +60,16 @@ class NystromPrecond:
     def n(self):
         return self.U.shape[0]
 
-    def _solve_permuted(self, y):
-        # fused form M^{-1} y = y/eta + U ((s - 1/eta) (U' y)): one fewer
+    def solve(self, r):
+        # fused form M^{-1} r = r/eta + U ((s - 1/eta) (U' r)): one fewer
         # U-product than the reference's sequence (nys.c:142-158), and at
         # highest matmul precision — the 1/eta factor amplifies projector
-        # error, so bf16-precision GEMMs here destroy PCG convergence
-        z = jnp.matmul(self.U.T, y, precision="highest")
-        return y / self.eta + jnp.matmul(
+        # error, so bf16-precision GEMMs here destroy PCG convergence.
+        # No permutation: U rows are in original order (module docstring).
+        z = jnp.matmul(self.U.T, r, precision="highest")
+        return r / self.eta + jnp.matmul(
             self.U, (self.s - 1.0 / self.eta) * z, precision="highest"
         )
-
-    def solve(self, r):
-        y = r[self.perm]
-        out = self._solve_permuted(y)
-        return jnp.zeros_like(out).at[self.perm].set(out)
 
     def logdet(self):
         return (self.n - self.k) * jnp.log(self.eta) + jnp.sum(
@@ -73,7 +77,7 @@ class NystromPrecond:
         )
 
     def _dM_apply(self, j, x):
-        """dM_j @ x in permuted order, x (n,) or (n, m); j in {0, 1}."""
+        """dM_j @ x, x (n,) or (n, m); j in {0, 1} (original row order)."""
         hm = lambda a, b: jnp.matmul(a, b, precision="highest")
         K1tx = hm(self.K1.T, x)
         w = chol_solve(self.L11, K1tx)          # K11^{-1} K1' x
@@ -84,11 +88,7 @@ class NystromPrecond:
 
     def dvp(self, z):
         """(3, n) stacked M^{-1} dM_j z — ref nys.c:175-331."""
-        zp = z[self.perm]
-        outs = []
-        for j in range(2):
-            y = self._solve_permuted(self._dM_apply(j, zp))
-            outs.append(jnp.zeros_like(y).at[self.perm].set(y))
+        outs = [self.solve(self._dM_apply(j, z)) for j in range(2)]
         y2 = self.f2 * self.solve(z)
         return jnp.stack(outs + [y2])
 
@@ -141,8 +141,10 @@ def nystrom_setup(
 def _nystrom_setup_impl(kind, params, X, perm, k, require_grad, windows,
                         additive_kernel_matrix, additive_kernel_matrix_with_grad):
     n = X.shape[0]
-    Xp = X[perm]
-    Xk = Xp[:k]
+    perm = jnp.asarray(perm)
+    # the ONLY gather: k landmark rows.  Everything downstream stays in
+    # original row order (module docstring).
+    Xk = X[perm[:k]]
     noise_free = KernelParams(f=params.f, l=params.l, mu=jnp.zeros_like(params.mu))
 
     if windows is None:
@@ -153,13 +155,14 @@ def _nystrom_setup_impl(kind, params, X, perm, k, require_grad, windows,
         build_g = lambda p, A, B: additive_kernel_matrix_with_grad(kind, p, A, windows, B)
 
     if require_grad:
-        K1, dK1_full = build_g(noise_free, Xp, Xk)   # rectangular: no noise
+        K1, dK1_full = build_g(noise_free, X, Xk)    # rectangular: no noise
         dK1 = dK1_full[:2]
-        K11 = K1[:k]
-        dK11 = dK1[:, :k, :]
+        K11t, dK11_full = build_g(noise_free, Xk, Xk)
+        K11 = K11t
+        dK11 = dK11_full[:2]
     else:
-        K1 = build(noise_free, Xp, Xk)
-        K11 = K1[:k]
+        K1 = build(noise_free, X, Xk)
+        K11 = build(noise_free, Xk, Xk)
         dK1 = None
         dK11 = None
 

@@ -129,9 +129,7 @@ def main():
         # Nystrom preconditioner: random landmarks (as the library tests use,
         # TEST2 foo1.cpp:208); landmark block replicated (k x k), the tall
         # factor row-sharded like X (SURVEY.md §2.15)
-        perm = expand_perm(
-            jax.random.permutation(jax.random.PRNGKey(0), n)[:rank], n
-        )
+        perm = jax.random.permutation(jax.random.PRNGKey(0), n)[:rank]
         pre = nystrom_setup("gaussian", params, Xv, perm, rank,
                             require_grad=False, windows=windows)
         res = pcg(lambda v: additive_fastsum_matvec(plan, v), bv,

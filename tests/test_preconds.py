@@ -101,14 +101,13 @@ def test_nystrom_solve_and_logdet(problem):
     perm = expand_perm(rand_perm(jax.random.PRNGKey(5), n, k), n)
     pre = nystrom_setup("gaussian", p, X, perm, k, require_grad=True)
 
-    # M = Uf Uf' + eta I in permuted order
+    # M = Uf Uf' + eta I — factors stored in ORIGINAL row order (the
+    # permuted layout is a reference C-code convenience; see nystrom.py)
     Uf = np.asarray(pre.Uf)
     eta = float(pre.eta)
     M = Uf @ Uf.T + eta * np.eye(n)
-    P = np.asarray(perm)
-    bp = np.asarray(b)[P]
-    x_ref = np.linalg.solve(M, bp)
-    x = np.asarray(pre.solve(b))[P]
+    x_ref = np.linalg.solve(M, np.asarray(b))
+    x = np.asarray(pre.solve(b))
     np.testing.assert_allclose(x, x_ref, rtol=1e-6, atol=1e-8)
 
     _, ld = np.linalg.slogdet(M)
@@ -141,11 +140,10 @@ def test_nystrom_dvp_trace_consistent(problem):
         dM = dK1 @ iK11 @ K1.T + K1 @ iK11 @ dK1.T - K1 @ iK11 @ dK11 @ iK11 @ K1.T
         expect = np.trace(Minv @ dM)
         np.testing.assert_allclose(tr[j], expect, rtol=1e-6)
-        # dvp = M^{-1} dM z
+        # dvp = M^{-1} dM z (original row order)
         z = np.asarray(b)
-        P = np.asarray(perm)
-        px = np.asarray(pre.dvp(b)[j])[P]
-        np.testing.assert_allclose(px, Minv @ dM @ z[P], rtol=1e-6, atol=1e-8)
+        px = np.asarray(pre.dvp(b)[j])
+        np.testing.assert_allclose(px, Minv @ dM @ z, rtol=1e-6, atol=1e-8)
     # third param: dM = f^2 I pair
     f2 = float(pre.f2)
     np.testing.assert_allclose(tr[2], f2 * np.trace(Minv), rtol=1e-6)
