@@ -167,3 +167,141 @@ def fused_pcg_dense(K, b, *, maxits: int = 100, tol: float = 1e-6,
     )(Kp, bp)
     x = out_x[0, :n].astype(b.dtype)
     return x, out_stats[0, 0], out_stats[0, 1].astype(jnp.int32)
+
+
+# --- fused batched Lanczos (SLQ engine for small dense K) -------------------
+
+def _lanczos_kernel(nv, npad, maxits, K_ref, Z_ref,
+                    out_alpha, out_beta, out_V, out_beta0,
+                    Vh, Zh, w_s, t1_s):
+    """All nv probes' FULL Lanczos recursions in one kernel.
+
+    K stays resident in VMEM (npad^2 * 4 B — the <=4k dense regime fits);
+    the matvec for all probes is ONE (nv, npad) @ (npad, npad) MXU GEMM per
+    iteration; CGS2 reorthogonalization is elementwise multiply+reduce over
+    the VMEM-resident basis history.  Matches solvers/lanczos.lanczos with
+    precond=None, full_reorth=True, wsize=None, tol=0 (the SLQ setting).
+
+    Histories are (maxits+1, nv, npad) VMEM scratch: Vh the normalized
+    V basis, Zh the A-side basis (identical to Vh when M = I except for
+    shared normalization — kept separate to mirror the two-basis recursion).
+    """
+    f32 = jnp.float32
+    K = K_ref[...]
+    Z = Z_ref[...]                                   # (nv, npad)
+
+    beta0_sq = jnp.sum(Z * Z, axis=1, keepdims=True)     # (nv, 1)
+    beta0 = jnp.sqrt(jnp.maximum(beta0_sq, 0.0))
+    safe_b0 = jnp.where(beta0 == 0.0, 1.0, beta0)
+    eps = jnp.asarray(jnp.finfo(f32).eps, f32)
+
+    Vh[...] = jnp.zeros_like(Vh)
+    Zh[...] = jnp.zeros_like(Zh)
+    Vh[0] = Z / safe_b0
+    Zh[0] = Z / safe_b0
+    out_alpha[...] = jnp.ones_like(out_alpha)        # identity padding
+    out_beta[...] = jnp.zeros_like(out_beta)
+    out_beta0[...] = beta0
+
+    def step(it, stop):
+        v_it = Vh[it]                                # (nv, npad)
+        w_s[...] = jax.lax.dot_general(
+            v_it, K, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+        # CGS2 against the full history: rows past `it` are zero, so no
+        # masking is needed (same trick as solvers/lanczos.py).
+        for _ in range(2):
+            w = w_s[...]
+            t1_s[...] = jnp.sum(Vh[...] * w[None, :, :], axis=2)   # (m+1, nv)
+            w_s[...] = w - jnp.sum(
+                t1_s[...][:, :, None] * Zh[...], axis=0
+            )
+            if _ == 0:
+                coeff = t1_s[...]
+            else:
+                coeff = coeff + t1_s[...]
+
+        td = jax.lax.dynamic_slice_in_dim(coeff, it, 1, 0)[0]      # (nv,)
+        itm1 = jnp.maximum(it - 1, 0)
+        te = jax.lax.dynamic_slice_in_dim(coeff, itm1, 1, 0)[0]
+        te = jnp.where(it > 0, te, 0.0)
+
+        w = w_s[...]
+        t = jnp.sqrt(jnp.sum(w * w, axis=1))                       # (nv,)
+        break1 = t < eps
+        # M = I: vnew = w, dotvz = ||w||
+        break2 = break1
+        keep = jnp.logical_and(jnp.logical_not(break1 | break2),
+                               jnp.logical_not(stop))
+        safe_t = jnp.where(t == 0.0, 1.0, t)
+        Vh[it + 1] = jnp.where(keep[:, None], w / safe_t[:, None], 0.0)
+        Zh[it + 1] = Vh[it + 1]
+
+        live = jnp.logical_not(stop) & jnp.logical_not(break1)
+        a_row = jnp.where(live, td, 1.0)
+        out_alpha[...] = jax.lax.dynamic_update_slice_in_dim(
+            out_alpha[...], a_row[None, :], it, 0
+        )
+        b_live = live & (it > 0)
+        b_row = jnp.where(b_live, te, 0.0)
+        out_beta[...] = jax.lax.dynamic_update_slice_in_dim(
+            out_beta[...], b_row[None, :], itm1, 0
+        )
+        return jnp.logical_or(stop, break1 | break2)
+
+    jax.lax.fori_loop(0, maxits, step, jnp.zeros((nv,), jnp.bool_))
+    out_V[...] = Vh[: maxits + 1]
+
+
+@functools.partial(jax.jit, static_argnames=("maxits", "interpret"))
+def fused_lanczos_dense(K, Z, *, maxits: int = 10, interpret: bool = False):
+    """Batched unpreconditioned Lanczos of all probes in ONE kernel launch.
+
+    K: (n, n) SPD dense; Z: (nv, n) probes.  Returns (alpha (nv, maxits),
+    beta (nv, maxits-1), V (nv, maxits+1, n), beta0 (nv,)) matching
+    solvers/lanczos.lanczos per probe (identity/zero padding past
+    breakdown).  The SLQ quadrature + tridiagonal solve stay outside (tiny
+    eigh/solve).  Ref: SRC/solvers/lanczos.c:421-610; SURVEY.md §7.4.
+    """
+    n = Z.shape[-1]
+    nv = Z.shape[0]
+    npad = _cdiv(n, 256) * 256
+    f32 = jnp.float32
+    Kp = jnp.zeros((npad, npad), f32).at[:n, :n].set(K.astype(f32))
+    Zp = jnp.zeros((nv, npad), f32).at[:, :n].set(Z.astype(f32))
+    m1 = maxits + 1
+
+    alpha, beta, V, beta0 = pl.pallas_call(
+        functools.partial(_lanczos_kernel, nv, npad, maxits),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((maxits, nv), f32),
+            jax.ShapeDtypeStruct((max(maxits - 1, 1), nv), f32),
+            jax.ShapeDtypeStruct((m1, nv, npad), f32),
+            jax.ShapeDtypeStruct((nv, 1), f32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((m1, nv, npad), f32),           # V history
+            pltpu.VMEM((m1, nv, npad), f32),           # Z history
+            pltpu.VMEM((nv, npad), f32),               # w workspace
+            pltpu.VMEM((m1, nv), f32),                 # reorth coeffs
+        ],
+        interpret=interpret,
+    )(Kp, Zp)
+
+    alpha = alpha.T                                    # (nv, maxits)
+    beta = beta.T[:, : max(maxits - 1, 0)]
+    V = jnp.moveaxis(V, 1, 0)[:, :, :n]                # (nv, m1, n)
+    return alpha, beta, V, beta0[:, 0]

@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--nvecs", type=int, default=10)
     ap.add_argument("--maxits", type=int, default=10)
     ap.add_argument("--engines", nargs="*", default=["table", "stream"])
+    ap.add_argument("--operator", default="fastsum", choices=["fastsum", "dense"],
+                    help="dense: the small-n regime (multiclass/TEST2 scale); "
+                    "engines are ignored")
+    ap.add_argument("--precond", default="none")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -52,11 +56,13 @@ def main():
     windows = [[i, i + 1] for i in range(0, args.d, 2)]
 
     rows = []
-    for engine in args.engines:
+    engines = args.engines if args.operator == "fastsum" else ["dense"]
+    for engine in engines:
         prob = GPProblem(
-            kernel="gaussian", windows=windows, operator="fastsum",
-            precond="none", rank=64, maxits=args.maxits, nvecs=args.nvecs,
-            fastsum_N=32, fastsum_engine=engine, seed=0,
+            kernel="gaussian", windows=windows, operator=args.operator,
+            precond=args.precond, rank=64, maxits=args.maxits,
+            nvecs=args.nvecs, fastsum_N=32,
+            fastsum_engine=engine if engine != "dense" else "table", seed=0,
         )
         loss_fn = prob.make_loss(X, y)
 
