@@ -235,6 +235,7 @@ def gp_predict_fastsum(
     maxits: Optional[int] = None,
     oversample: int = 2,
     nearfield_lfil: int = 0,
+    std_chunk: int = 16,
 ) -> GPPredictResult:
     """Fourier-accelerated GP prediction via a joint train+test plan.
 
@@ -286,14 +287,28 @@ def gp_predict_fastsum(
         f2 = params.f * params.f
         K22_diag = f2 * (1.0 + params.mu) * jnp.ones((n_test,), y.dtype)
 
-        def one(i):
-            e = jnp.zeros((n + n_test,), y.dtype).at[n + i].set(1.0)
-            col = mv_all(e)                    # joint kernel column of test i
-            k12 = col[:n]
-            s = fgmres(mv_tr, k12, precond=psolve, kdim=its, maxits=its,
-                       tol=cfg.tol, atol=cfg.atol)
-            return jnp.sqrt(jnp.abs(K22_diag[i] - jnp.vdot(k12, s.x)))
+        # BATCHED per-point variance solves (replaces the reference's serial
+        # loop, nfft_interface.c:1015-1057): chunks of test points run as
+        # vmapped joint-plan column extractions + vmapped FGMRES solves —
+        # under the streamed engine the vmapped matvecs dispatch to the
+        # multi-RHS packed kernels (one table stream per pass,
+        # ops/fastsum.packed_ndft_matvec_batch).  Chunking bounds the
+        # (kdim+1, n)-basis memory at chunk * its * n.
+        chunk = max(1, min(std_chunk, n_test))
+        n_pad = -(-n_test // chunk) * chunk
 
-        std = jax.lax.map(one, jnp.arange(n_test))
+        def solve_chunk(idx_chunk):
+            E = jax.nn.one_hot(n + idx_chunk, n + n_test, dtype=y.dtype)
+            cols = jax.vmap(mv_all)(E)          # (chunk, n+n_test)
+            k12 = cols[:, :n]
+            sx = jax.vmap(
+                lambda rhs: fgmres(mv_tr, rhs, precond=psolve, kdim=its,
+                                   maxits=its, tol=cfg.tol, atol=cfg.atol).x
+            )(k12)
+            return jnp.sum(k12 * sx, axis=1)    # quadratic forms
+
+        idx_all = jnp.arange(n_pad).reshape(-1, chunk)
+        quad = jax.lax.map(solve_chunk, idx_all).reshape(-1)[:n_test]
+        std = jnp.sqrt(jnp.abs(K22_diag - quad))
 
     return GPPredictResult(mean=mean, std=std, solve_relres=sol.relres, solve_iters=sol.niter)

@@ -168,8 +168,16 @@ class GPProblem:
                     )
                 )(geom)
 
+            if self.fastsum_fused and self.fastsum_engine == "stream":
+                raise ValueError(
+                    "fastsum_fused=True conflicts with fastsum_engine='stream' "
+                    "— pick one (fused regenerates phases in VMEM, stream "
+                    "reads packed tables)"
+                )
+            # an explicit fused opt-in wins over the 'auto' stream default
             use_stream = self.fastsum_engine == "stream" or (
                 self.fastsum_engine == "auto"
+                and not self.fastsum_fused
                 and jax.default_backend() not in ("cpu",)
             )
 

@@ -1134,11 +1134,12 @@ def packed_ndft_matvec_batch(pn: PackedNDFT, Xb, *, prec: str = "highest",
                 acc = acc + jax.vmap(lambda v: nearfield_matvec(idx, val, v))(Xb)
 
     for dw, order, plans in pn.rest:
+        # vmap over the probe axis (not a Python unroll): traced program
+        # size stays independent of nv
         contrib = jax.vmap(
-            lambda pl_: jnp.stack(
-                [_folded_apply_multi(pl_.geom.Tcs, [pl_.w], Xb[r])[0]
-                 for r in range(nv)]
-            )
+            lambda pl_: jax.vmap(
+                lambda v: _folded_apply_multi(pl_.geom.Tcs, [pl_.w], v)[0]
+            )(Xb)
             + (
                 jax.vmap(lambda v: nearfield_matvec(pl_.nf_idx, pl_.nf_val, v))(Xb)
                 if pl_.nf_val is not None
@@ -1200,20 +1201,20 @@ def packed_ndft_grad_matvec_batch(pn: PackedNDFT, Xb, *, prec: str = "highest",
                     lambda v: nearfield_matvec(idx, dval, v))(Xb)
 
     for dw, order, plans in pn.rest:
-        for r in range(nv):
-            x = Xb[r]
-            kc = jax.vmap(
-                lambda pl_: _folded_apply_multi(pl_.geom.Tcs, [pl_.w], x)[0]
-                + (nearfield_matvec(pl_.nf_idx, pl_.nf_val, x)
-                   if pl_.nf_val is not None else 0.0)
-            )(plans)
-            lc = jax.vmap(
-                lambda pl_: _folded_apply_multi(pl_.geom.Tcs, [pl_.dw_l], x)[0]
-                + (nearfield_matvec(pl_.nf_idx, pl_.nf_dval, x)
-                   if pl_.nf_val is not None else 0.0)
-            )(plans)
-            k_acc = k_acc.at[r].add(jnp.sum(kc, axis=0))
-            l_acc = l_acc.at[r].add(jnp.sum(lc, axis=0))
+        # vmap over probes (outer) and windows (inner): traced program size
+        # independent of nv; K and dK/dl share one adjoint per (probe, window)
+        def both(pl_, x):
+            kp, lp = _folded_apply_multi(pl_.geom.Tcs, [pl_.w, pl_.dw_l], x)
+            if pl_.nf_val is not None:
+                kp = kp + nearfield_matvec(pl_.nf_idx, pl_.nf_val, x)
+                lp = lp + nearfield_matvec(pl_.nf_idx, pl_.nf_dval, x)
+            return kp, lp
+
+        kc, lc = jax.vmap(
+            lambda x: jax.vmap(lambda pl_: both(pl_, x))(plans)
+        )(Xb)                                        # (nv, Wg, n) each
+        k_acc = k_acc + jnp.sum(kc, axis=1)
+        l_acc = l_acc + jnp.sum(lc, axis=1)
 
     W = pn.n_windows
     f2 = p.f * p.f

@@ -27,14 +27,19 @@ def stable_chol(K, extra_shift: float = 0.0):
     base = jnp.sqrt(jnp.asarray(float(n), K.dtype)) * jnp.spacing(fro) + extra_shift
     eye = jnp.eye(n, dtype=K.dtype)
 
-    L = jnp.linalg.cholesky(K + base * eye)
-    nu = base
-    for mult in (1e2, 1e4, 1e6):
-        shift = base * mult
-        Lk = jnp.linalg.cholesky(K + shift * eye)
-        bad = jnp.isnan(L).any()
-        L = jnp.where(bad, Lk, L)
-        nu = jnp.where(bad, shift, nu)
+    # escalate only while the factor is non-finite: the common case pays ONE
+    # factorization (a while_loop, not four unconditional cholesky calls)
+    def cond(carry):
+        L, nu, tries = carry
+        return jnp.logical_and(jnp.isnan(L).any(), tries < 4)
+
+    def body(carry):
+        L, nu, tries = carry
+        shift = base * 10.0 ** (2.0 * tries)
+        return jnp.linalg.cholesky(K + shift * eye), shift, tries + 1
+
+    L0 = jnp.linalg.cholesky(K + base * eye)
+    L, nu, _ = jax.lax.while_loop(cond, body, (L0, base, jnp.asarray(1.0, K.dtype)))
     return L, nu
 
 

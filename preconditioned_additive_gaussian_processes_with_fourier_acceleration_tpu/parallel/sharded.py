@@ -95,35 +95,86 @@ def sharded_ndft_adjoint(mesh: Mesh, axis_name: str = POINTS_AXIS):
     return adjoint
 
 
+def _nearfield_local(idx_b, val_b, xb, xf, axis_name: str):
+    """Cross-shard near-field ELL apply, shard-local frame.
+
+    The padded-ELL pattern rows are sharded with the points; column indices
+    are GLOBAL.  y = (S + S' - diag S) x becomes:
+      forward  S x   : local rows gather from the all-gathered x (xf)
+      transpose S' x : local rows scatter-add into a GLOBAL accumulator that
+                       is reduce-scattered back to the row sharding — the
+                       communication is one (n,)-vector psum_scatter per
+                       apply, the ELL analog of the reference's shared-memory
+                       CSR transpose product (fsai.c:106-124).
+    """
+    n_global = xf.shape[0]
+    fwd = jnp.sum(val_b * xf[idx_b], axis=1)
+    contrib = jnp.zeros((n_global,), xb.dtype).at[idx_b.reshape(-1)].add(
+        (val_b * xb[:, None]).reshape(-1)
+    )
+    tr = jax.lax.psum_scatter(contrib, axis_name, tiled=True)
+    return fwd + tr - val_b[:, -1] * xb
+
+
+def sharded_nearfield_matvec(mesh: Mesh, idx, val, axis_name: str = POINTS_AXIS):
+    """Standalone closure for the cross-shard near-field correction.
+
+    idx/val row-sharded (n, lfil); x row-sharded.  See _nearfield_local.
+    """
+
+    def mv(x):
+        def local(idx_b, val_b, xb):
+            xf = jax.lax.all_gather(xb, axis_name, tiled=True)
+            return _nearfield_local(idx_b, val_b, xb, xf, axis_name)
+
+        return shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axis_name, None), P(axis_name, None), P(axis_name)),
+            out_specs=P(axis_name),
+        )(idx, val, x)
+
+    return mv
+
+
 def sharded_fastsum_matvec(mesh: Mesh, plan, axis_name: str = POINTS_AXIS):
     """Full folded fastsum matvec (single plan) under explicit shard_map.
 
     adjoint: local phase GEMM + psum of the mode tensor (O(N^d) bytes);
     combine: replicated (tiny); forward: local rows, NO communication.
-    x arrives row-sharded; output stays row-sharded.  The sparse near-field
-    correction is cross-shard (KNN rows) and is not part of this reference
-    impl — build the plan with nearfield_lfil=0.
+    The sparse near-field correction (matern12 default) is cross-shard:
+    one all-gather of x + one psum_scatter of the transpose contribution
+    (_nearfield_local).  x arrives row-sharded; output stays row-sharded.
     """
     from ..ops.fastsum import _folded_adjoint, _folded_combine, _folded_forward
 
-    if plan.nf_val is not None:
-        raise ValueError(
-            "sharded_fastsum_matvec: build the plan with nearfield_lfil=0 "
-            "(the sparse near-field correction is cross-shard)"
-        )
     d = plan.d
     params = plan.params
+    has_nf = plan.nf_val is not None
 
     def mv(x):
-        def local(Tb, xb, w):
-            A = jax.lax.psum(_folded_adjoint(Tb, xb), axis_name)
-            return _folded_forward(Tb, _folded_combine(w, A, d))
+        if has_nf:
+            def local(Tb, xb, w, idx_b, val_b):
+                A = jax.lax.psum(_folded_adjoint(Tb, xb), axis_name)
+                y = _folded_forward(Tb, _folded_combine(w, A, d))
+                xf = jax.lax.all_gather(xb, axis_name, tiled=True)
+                return y + _nearfield_local(idx_b, val_b, xb, xf, axis_name)
 
-        y = shard_map(
-            local, mesh=mesh,
-            in_specs=(P(None, axis_name, None), P(axis_name), P()),
-            out_specs=P(axis_name),
-        )(plan.geom.Tcs, x, plan.w)
+            y = shard_map(
+                local, mesh=mesh,
+                in_specs=(P(None, axis_name, None), P(axis_name), P(),
+                          P(axis_name, None), P(axis_name, None)),
+                out_specs=P(axis_name),
+            )(plan.geom.Tcs, x, plan.w, plan.nf_idx, plan.nf_val)
+        else:
+            def local(Tb, xb, w):
+                A = jax.lax.psum(_folded_adjoint(Tb, xb), axis_name)
+                return _folded_forward(Tb, _folded_combine(w, A, d))
+
+            y = shard_map(
+                local, mesh=mesh,
+                in_specs=(P(None, axis_name, None), P(axis_name), P()),
+                out_specs=P(axis_name),
+            )(plan.geom.Tcs, x, plan.w)
         f2 = params.f * params.f
         return f2 * (y + params.mu * x)
 
@@ -189,3 +240,238 @@ def sharded_fsai_setup(mesh: Mesh, kind: str, params, X, pattern,
 
     return FsaiPrecond(idx=idx, mask=mask, val=val, dval=dval,
                        breakdown=bad.astype(bool))
+
+
+def sharded_nystrom_setup(mesh: Mesh, kind: str, params, X, Xk,
+                          *, windows=None, axis_name: str = POINTS_AXIS):
+    """Row-sharded stabilized-Nyström setup (solve/logdet mode).
+
+    The reference's setup (nys.c:518-660) is a tall-factor SVD; distributed,
+    the SVD becomes the k x k GRAM eigendecomposition (SURVEY.md §7 "SVD at
+    scale: QR -> small-SVD"):
+
+      K1 rows      : shard-local rectangular kernel blocks K(X_b, Xk)
+      L11          : replicated chol of the k x k landmark block
+      Uf = K1 L^-T : shard-local triangular solves
+      G = Uf' Uf   : local (k x k) partial + psum  <- the ONLY communication
+      eigh(G)      : replicated (k x k, tiny)
+      U = Uf V s^-1: shard-local GEMM; U stays row-sharded
+
+    X row-sharded (n/P, d); Xk (k, d) replicated landmark rows.  Returns a
+    NystromPrecond whose U is row-sharded — its solve is then local GEMMs +
+    an implicit psum of the (k,)-projection, inserted by GSPMD.
+    Gradient extras (trace/dvp) are not built here: the sharded loss path
+    re-uses this operator for SOLVES; gradient traces come from the
+    replicated-landmark terms which the GSPMD path computes unsharded.
+    """
+    from ..ops.kernels import KernelParams, kernel_matrix, additive_kernel_matrix
+    from ..ops.matops import stable_chol, tril_solve
+    from ..preconds.nystrom import NystromPrecond
+
+    noise_free = KernelParams(f=params.f, l=params.l, mu=jnp.zeros_like(params.mu))
+    if windows is None:
+        build = lambda A, B: kernel_matrix(kind, noise_free, A, B)
+    else:
+        build = lambda A, B: additive_kernel_matrix(kind, noise_free, A, windows, B)
+
+    k = Xk.shape[0]
+
+    def local(Xb, Xkf):
+        K11 = build(Xkf, Xkf)
+        L11, _ = stable_chol(K11)
+        K1b = build(Xb, Xkf)                       # (nb, k)
+        Ufb = tril_solve(L11, K1b.T).T             # (nb, k)
+        G = jax.lax.psum(
+            jnp.matmul(Ufb.T, Ufb, precision="highest"), axis_name
+        )
+        lam, V = jnp.linalg.eigh(G)                # ascending; order is moot
+        sigma2 = jnp.maximum(lam, 0.0)
+        inv_sig = jnp.where(sigma2 > 0, 1.0 / jnp.sqrt(jnp.where(sigma2 > 0, sigma2, 1.0)), 0.0)
+        Ub = jnp.matmul(Ufb, V * inv_sig[None, :], precision="highest")
+        return Ub, sigma2
+
+    U, sigma2 = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis_name, None), P()),
+        out_specs=(P(axis_name, None), P()),
+    )(X, Xk)
+    eta = params.mu * params.f * params.f
+    return NystromPrecond(
+        perm=jnp.arange(k), U=U, s=1.0 / (sigma2 + eta), sigma2=sigma2,
+        eta=eta, f2=params.f * params.f, Uf=None, L11=None, K1=None,
+        dK1=None, dK11=None,
+    )
+
+
+# --- sharded streamed packed-NDFT engine ------------------------------------
+#
+# The streamed Pallas kernels (ops/pallas_ndft.py) are the single-chip
+# speed-of-light matvec path; Pallas kernels do not auto-partition under
+# GSPMD, so the multi-chip version is an explicit shard_map: each shard
+# streams ITS OWN packed phase-table block (built once, columns = local
+# points), the tiny per-window mode tensors are psum'd between the adjoint
+# and forward passes, and the near-field correction uses the cross-shard ELL
+# apply above.  Communication per matvec: one O(W * (2P)^2) psum (the ~23 KB
+# "all-reduce the Fourier grid" quantity, SCALING.json) + the near-field
+# all-gather/psum_scatter when enabled.
+
+
+def _plan_specs(plan, axis_name: str):
+    """PartitionSpecs for an AdditiveFastsumPlan: point-sized leaf axes are
+    sharded, everything else replicated.  The points axis is identified by
+    dimension == n (the first match); coefficient/weight leaves (N- and
+    P-sized) stay replicated."""
+    n = plan.groups[0][2].geom.x.shape[1]
+
+    def spec(leaf):
+        shape = getattr(leaf, "shape", ())
+        for ax, s in enumerate(shape):
+            if s == n and n > 1:
+                return P(*([None] * ax + [axis_name] + [None] * (len(shape) - ax - 1)))
+        return P()
+
+    return jax.tree_util.tree_map(spec, plan)
+
+
+def sharded_stream_ops(mesh: Mesh, plan, *, table_dtype=None, block: int = 2048,
+                       axis_name: str = POINTS_AXIS):
+    """(matvec, dmatvec) on per-shard streamed packed-table kernels.
+
+    plan: AdditiveFastsumPlan (d<=2 windows) with row-sharded point leaves.
+    Builds the per-shard packed phase tables ONCE (one shard_map call; the
+    global table is a (rows, P*npad_local) array sharded on its column axis),
+    then returns closures whose every apply is:
+      adjoint (local Pallas stream) -> psum(mode tensors) -> combine
+      (replicated, tiny) -> forward (local Pallas stream) [+ near-field].
+    Batched (nv, n) inputs run the native multi-RHS kernels — all probes
+    share one table stream AND one mode-tensor psum per pass.
+    """
+    from ..ops import fastsum as fs
+    from ..ops.pallas_ndft import pack_phase_table, packed_adjoint, packed_forward
+
+    interp = jax.default_backend() == "cpu"
+    prec = "default" if table_dtype == jnp.bfloat16 else "highest"
+    pspecs = _plan_specs(plan, axis_name)
+
+    # one-time per-shard table build (per loss eval; the phase table is
+    # params-independent but deriving it from the plan keeps one code path)
+    def build_local(plan_l):
+        xT, pairs, singles, *_rest, rest = fs._packed_layout(plan_l)
+        if rest:
+            raise NotImplementedError(
+                "sharded_stream_ops supports 1-D/2-D windows (3-D windows "
+                "use the GSPMD table path)"
+            )
+        Pm = fs._nmodes(plan_l.groups[0][2].N) - 1      # edge-trimmed
+        return pack_phase_table(xT, Pm, block=block, table_dtype=table_dtype)
+
+    # check_vma=False: pallas_call inside shard_map does not carry the
+    # varying-mesh-axes annotation on its output avals
+    Tp = shard_map(
+        build_local, mesh=mesh, in_specs=(pspecs,), out_specs=P(None, axis_name),
+        check_vma=False,
+    )(plan)
+
+    def _apply_local(Tp_b, plan_l, Vb, weight_sel):
+        """Local-frame multi-set apply; Vb (nv, n_local).  Returns (nsets,
+        nv, n_local) ksum accumulations (no f^2/mu)."""
+        (xT, pairs, singles, w2, dw2, w1, dw1, nf2, nf1, rest) = fs._packed_layout(plan_l)
+        Pm = fs._nmodes(plan_l.groups[0][2].N) - 1
+        trim2 = lambda W: W[:, :Pm, :Pm]
+        trim1 = lambda W: W[:, :Pm]
+        nv, n_local = Vb.shape
+        A2, A1 = packed_adjoint(
+            Tp_b, Vb, P=Pm, pairs=pairs, singles=singles, block=block,
+            interpret=interp, prec=prec, phase_gen="table_f32",
+        )
+        A2, A1 = jax.lax.psum((A2, A1), axis_name)
+        G2_sets, G1_sets = [], []
+        order = []
+        for r in range(nv):
+            for sel, _nfsel in weight_sel:
+                ws2 = w2 if sel == "w" else dw2
+                ws1 = w1 if sel == "w" else dw1
+                G2_sets.append([fs._folded_combine(trim2(ws2[i]), A2[i][r], 2)
+                                for i in range(len(pairs))])
+                G1_sets.append([fs._folded_combine(trim1(ws1[i]), A1[i][r], 1)
+                                for i in range(len(singles))])
+                order.append((r, sel))
+        ys = packed_forward(
+            Tp_b, G2_sets, G1_sets, P=Pm, pairs=pairs, singles=singles,
+            block=block, interpret=interp, prec=prec, phase_gen="table_f32",
+            n_out=n_local,
+        )
+        nsets = len(weight_sel)
+        accs = [jnp.stack(ys[s::nsets]) for s in range(nsets)]  # (nv, n_local)
+        xf = None
+        for s, (_sel, nfsel) in enumerate(weight_sel):
+            for trip in list(nf2) + list(nf1):
+                if trip is not None:
+                    idx_b, val, dval = trip
+                    v = val if nfsel == "nf_val" else dval
+                    if xf is None:
+                        xf = jax.vmap(
+                            lambda xb: jax.lax.all_gather(xb, axis_name, tiled=True)
+                        )(Vb)
+                    accs[s] = accs[s] + jax.vmap(
+                        lambda xb, xfb: _nearfield_local(idx_b, v, xb, xfb, axis_name)
+                    )(Vb, xf)
+        return accs
+
+    def _run(Tp_, plan_, V2, weight_sel):
+        def local(Tp_b, plan_l, Vb):
+            return _apply_local(Tp_b, plan_l, Vb, weight_sel)
+
+        return shard_map(
+            local, mesh=mesh,
+            in_specs=(P(None, axis_name), pspecs, P(None, axis_name)),
+            out_specs=[P(None, axis_name)] * len(weight_sel),
+            check_vma=False,
+        )(Tp_, plan_, V2)
+
+    def _mv_impl(Tp_, plan_, v):
+        p = plan_.params
+        W = plan_.n_windows
+        f2 = p.f * p.f
+        batched = v.ndim == 2
+        V2 = v if batched else v[None, :]
+        (acc,) = _run(Tp_, plan_, V2, [("w", "nf_val")])
+        y = f2 * (acc / W + p.mu * V2)
+        return y if batched else y[0]
+
+    def _dmv_impl(Tp_, plan_, v):
+        p = plan_.params
+        W = plan_.n_windows
+        f2 = p.f * p.f
+        batched = v.ndim == 2
+        V2 = v if batched else v[None, :]
+        k_acc, l_acc = _run(Tp_, plan_, V2, [("w", "nf_val"), ("dw_l", "nf_dval")])
+        y_f = 2.0 * p.f * (k_acc / W + p.mu * V2)
+        y_l = f2 * (l_acc / W)
+        y_mu = f2 * V2
+        out = jnp.stack([y_f, y_l, y_mu], axis=1)       # (nv, 3, n)
+        return out if batched else out[0]
+
+    # custom_vmap so SLQ's vmap over probes hits the NATIVE multi-RHS path
+    # (one table stream + one mode psum for all probes); the operands are
+    # explicit args, not closures (custom_vmap lifts to a primitive and
+    # closed-over tracers have no constant handler — models/problem.py).
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def _mv(Tp_, plan_, v):
+        return _mv_impl(Tp_, plan_, v)
+
+    @_mv.def_vmap
+    def _mv_rule(axis_size, in_batched, Tp_, plan_, vb):
+        return _mv_impl(Tp_, plan_, vb), True
+
+    @custom_batching.custom_vmap
+    def _dmv(Tp_, plan_, v):
+        return _dmv_impl(Tp_, plan_, v)
+
+    @_dmv.def_vmap
+    def _dmv_rule(axis_size, in_batched, Tp_, plan_, vb):
+        return _dmv_impl(Tp_, plan_, vb), True
+
+    return (lambda v: _mv(Tp, plan, v)), (lambda v: _dmv(Tp, plan, v))

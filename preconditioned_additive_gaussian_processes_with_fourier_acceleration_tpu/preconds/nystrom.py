@@ -39,7 +39,7 @@ from ..ops.kernels import kernel_matrix, kernel_matrix_with_grad, KernelParams
 
 @pytree_dataclass
 class NystromPrecond:
-    perm: jnp.ndarray          # (n,) full permutation; first k = landmarks
+    perm: jnp.ndarray          # (k,) landmark indices (setup stores perm[:k])
     U: jnp.ndarray             # (n, k) left singular vectors of Uf (ORIGINAL row order)
     s: jnp.ndarray             # (k,) 1 / (sigma^2 + eta)
     sigma2: jnp.ndarray        # (k,) sigma^2
@@ -122,10 +122,12 @@ def nystrom_setup(
     require_grad: bool = False,
     windows=None,
 ) -> NystromPrecond:
-    """Build the Nyström preconditioner from kernel + landmark permutation.
+    """Build the Nyström preconditioner from kernel + landmark indices.
 
-    perm: (n,) permutation whose first k entries are the landmarks (random in
-    the library tests — ref TEST4/foo.cpp:263-266 — or FPS in AFN).
+    perm: landmark indices — any array with >= k entries whose FIRST k are
+    the landmark rows (a bare (k,) index set, or a full (n,) permutation;
+    only perm[:k] is read and stored).  Random in the library tests — ref
+    TEST4/foo.cpp:263-266 — or FPS in AFN.
     """
     from ..ops.kernels import additive_kernel_matrix, additive_kernel_matrix_with_grad
 
@@ -176,7 +178,7 @@ def _nystrom_setup_impl(kind, params, X, perm, k, require_grad, windows,
     s = 1.0 / (sigma2 + eta)
 
     return NystromPrecond(
-        perm=jnp.asarray(perm),
+        perm=perm[:k],
         U=U,
         s=s,
         sigma2=sigma2,

@@ -65,7 +65,10 @@ def lanczos(
     beta0 = jnp.sqrt(jnp.maximum(beta0_sq, 0.0))
     normb = jnp.linalg.norm(b)
     safe_normb = jnp.where(normb == 0, 1.0, normb)
-    tolr = jnp.where(jnp.asarray(atol), tol / jnp.where(beta0 == 0, 1.0, beta0), tol)
+    # tolb: absolute threshold on the (estimated) residual norm — same
+    # semantics as pcg.py; the M-norm estimate normr_est below is already an
+    # absolute quantity (ref lanczos.c:223-247)
+    tolb = jnp.where(jnp.asarray(atol), tol, tol * normb)
 
     safe_beta0 = jnp.where(beta0 == 0, 1.0, beta0)
 
@@ -147,7 +150,7 @@ def lanczos(
 
         it = it + 1
         stop = jnp.logical_or(break1, break2)
-        stop = jnp.logical_or(stop, normr_est <= tolr * safe_normb)
+        stop = jnp.logical_or(stop, normr_est <= tolb)
         return (V, Z, TD, TE, it, tld_new, tle_new, ls_new, normr_est, stop)
 
     state = (

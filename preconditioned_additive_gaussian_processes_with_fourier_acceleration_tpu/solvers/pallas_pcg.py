@@ -265,6 +265,14 @@ def fused_lanczos_dense(K, Z, *, maxits: int = 10, interpret: bool = False):
     solvers/lanczos.lanczos per probe (identity/zero padding past
     breakdown).  The SLQ quadrature + tridiagonal solve stay outside (tiny
     eigh/solve).  Ref: SRC/solvers/lanczos.c:421-610; SURVEY.md §7.4.
+
+    VMEM bound: K (npad^2 f32) plus the V/Z histories (2 (maxits+1, nv,
+    npad)) must fit in ~128 MB VMEM unblocked — with nv=10, maxits=10 that
+    caps n at ~2k (K 16 MB + histories 18 MB at npad=2048; n=4k needs 64 MB
+    for K alone and is the hard ceiling).  Currently validated in interpret
+    mode and on-chip via tests/chip probes only; not wired into a
+    production loss path (the XLA-batched lanczos in solvers/lanczos.py is
+    the shipped SLQ engine).
     """
     n = Z.shape[-1]
     nv = Z.shape[0]

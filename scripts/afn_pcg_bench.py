@@ -1,13 +1,26 @@
-"""AFN-PCG time-to-tolerance at scale — BASELINE.json configs 2-3.
+"""AFN-PCG time-to-tolerance at scale — BASELINE.json configs 2-3 and the
+north-star "AFN-PCG time-to-tol at N=1e5-1e6" metric.
 
 Builds a synthetic additive-kernel problem (N points, d dims, 2-feature
-windows), the Fourier fastsum operator, and compares PCG convergence with no
-preconditioner / Nyström / AFN: iterations and wall time to rel-res 1e-6.
+windows), the Fourier fastsum operator, and compares PCG + FGMRES
+convergence with no preconditioner / Nyström / AFN.  Reports, per
+preconditioner: setup time, per-iteration time, the full relative-residual
+history, and the time/iterations to cross each tolerance decade — the
+committed artifact is the JSON (--json).
 
-Usage: python scripts/afn_pcg_bench.py [--n 100000] [--d 10] [--rank 200]
+f32 TPU runs hit an operator-noise floor (the fastsum matvec accumulates n
+terms in f32; the Nyström/AFN solve amplifies projector noise by 1/eta =
+1/(mu f^2)) — the reference runs f64 CPU where this is absent (pcg.c is
+double).  Use --platform cpu --x64 for the deep-tolerance parity backstop.
+
+Usage:
+  python scripts/afn_pcg_bench.py --n 100000 --d 10 --json AFN_PCG_1e5.json
+  python scripts/afn_pcg_bench.py --n 20000 --kernel matern32 --operator dense
+  python scripts/afn_pcg_bench.py --n 50000 --platform cpu --x64 --tol 1e-6
 """
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -15,6 +28,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+DECADES = (1e-1, 1e-2, 1e-3, 1e-4, 1e-5, 1e-6)
 
 
 def main():
@@ -25,15 +40,24 @@ def main():
     ap.add_argument("--lfil", type=int, default=16)
     ap.add_argument("--l", type=float, default=0.5)
     ap.add_argument("--mu", type=float, default=0.01)
-    ap.add_argument("--tol", type=float, default=1e-3)  # f32-attainable (f64 path reaches 1e-6)
+    ap.add_argument("--tol", type=float, default=1e-3)
     ap.add_argument("--maxits", type=int, default=400)
+    ap.add_argument("--kernel", default="gaussian")
+    ap.add_argument("--operator", default="fastsum", choices=["fastsum", "dense"])
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--x64", action="store_true",
+                    help="f64 arrays (reference precision; pair with cpu)")
+    ap.add_argument("--fgmres-kdim", type=int, default=100)
+    ap.add_argument("--precs", default="none,nystrom,afn")
+    ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
     import jax
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
     try:
         cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
         jax.config.update("jax_compilation_cache_dir", cache)
@@ -46,11 +70,9 @@ def main():
     from preconditioned_additive_gaussian_processes_with_fourier_acceleration_tpu.ops.kernels import (
         KernelParams,
         make_windows,
+        additive_kernel_matrix,
     )
-    from preconditioned_additive_gaussian_processes_with_fourier_acceleration_tpu.ops.fastsum import (
-        additive_fastsum_build,
-        additive_fastsum_matvec,
-    )
+    from preconditioned_additive_gaussian_processes_with_fourier_acceleration_tpu.ops import fastsum as fs
     from preconditioned_additive_gaussian_processes_with_fourier_acceleration_tpu.ops.fps import fps
     from preconditioned_additive_gaussian_processes_with_fourier_acceleration_tpu.preconds.afn import (
         AfnPlan,
@@ -61,12 +83,13 @@ def main():
     )
     from preconditioned_additive_gaussian_processes_with_fourier_acceleration_tpu.ops.knn import knn_pattern
     from preconditioned_additive_gaussian_processes_with_fourier_acceleration_tpu.solvers.pcg import pcg
+    from preconditioned_additive_gaussian_processes_with_fourier_acceleration_tpu.solvers.fgmres import fgmres
     from preconditioned_additive_gaussian_processes_with_fourier_acceleration_tpu.utils.datasets import (
         expand_perm,
         rand_perm,
     )
 
-    dtype = jnp.float32
+    dtype = jnp.float64 if args.x64 else jnp.float32
     n, d = args.n, args.d
     rng = np.random.default_rng(0)
     X = jnp.asarray(rng.uniform(size=(n, d)), dtype)
@@ -74,69 +97,115 @@ def main():
     params = KernelParams.make(1.0, args.l, args.mu, dtype=dtype)
     windows = make_windows([[i, i + 1] for i in range(0, d, 2)])
 
-    print(f"n={n} d={d} rank={args.rank} lfil={args.lfil} l={args.l} mu={args.mu}",
-          flush=True)
+    out = {
+        "n": n, "d": d, "kernel": args.kernel, "operator": args.operator,
+        "rank": args.rank, "lfil": args.lfil, "l": args.l, "mu": args.mu,
+        "tol": args.tol, "maxits": args.maxits,
+        "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
+        "platform": jax.default_backend(), "runs": {},
+    }
+    print(f"n={n} d={d} kernel={args.kernel} op={args.operator} rank={args.rank} "
+          f"lfil={args.lfil} l={args.l} mu={args.mu} dtype={out['dtype']} "
+          f"backend={out['platform']}", flush=True)
 
     t0 = time.time()
-    plan = jax.jit(lambda Xv: additive_fastsum_build("gaussian", params, Xv, windows, psd_clip=True))(X)
-    mv = jax.jit(lambda pl_, v: additive_fastsum_matvec(pl_, v))
-    jax.block_until_ready(mv(plan, b))
-    print(f"fastsum plan+compile {time.time() - t0:.1f}s", flush=True)
+    if args.operator == "fastsum":
+        geom = jax.jit(lambda Xv: fs.additive_fastsum_geometry(Xv, windows))(X)
+        plan = jax.jit(
+            lambda g, p: fs.additive_fastsum_coeffs(args.kernel, p, g, psd_clip=True)
+        )(geom, params)
+        mv = jax.jit(lambda pl_, v: fs.additive_fastsum_matvec(pl_, v))
+        operand = plan
+    else:
+        K = jax.jit(
+            lambda Xv, p: additive_kernel_matrix(args.kernel, p, Xv, windows)
+        )(X, params)
+        mv = jax.jit(lambda K_, v: jnp.matmul(K_, v, precision="highest"))
+        operand = K
+    jax.block_until_ready(mv(operand, b))
+    t_op = time.time() - t0
+    out["operator_build_s"] = round(t_op, 2)
+    print(f"operator build+compile {t_op:.1f}s", flush=True)
 
-    def solve(name, precond):
-        run = jax.jit(
-            lambda pl_, bb, pre: pcg(
-                lambda v: additive_fastsum_matvec(pl_, v), bb,
-                precond=(pre.solve if pre is not None else None),
-                tol=args.tol, maxits=args.maxits,
-            ),
-            static_argnames=(),
-        )
-        if precond is None:
-            run = jax.jit(
-                lambda pl_, bb: pcg(
-                    lambda v: additive_fastsum_matvec(pl_, v), bb,
-                    tol=args.tol, maxits=args.maxits,
-                )
-            )
-            res = jax.block_until_ready(run(plan, b))   # compile
-            t0 = time.time()
-            res = jax.block_until_ready(run(plan, b))
-        else:
-            res = jax.block_until_ready(run(plan, b, precond))
-            t0 = time.time()
-            res = jax.block_until_ready(run(plan, b, precond))
-        dt = time.time() - t0
-        print(
-            f"{name:12s} | iters {int(res.niter):4d} | relres {float(res.relres):.2e}"
-            f" | solve {dt:.2f}s | converged {bool(res.converged)}",
-            flush=True,
-        )
+    def report(name, solver, res, t_solve, setup_s):
+        hist = np.asarray(res.res_history, np.float64)
+        its = int(res.niter)
+        t_it = t_solve / max(its, 1)
+        crossings = {}
+        for dec in DECADES:
+            hit = np.where(hist[: its + 1] <= dec)[0]
+            if hit.size:
+                crossings[f"{dec:.0e}"] = {
+                    "iters": int(hit[0]),
+                    "time_s": round(float(hit[0]) * t_it, 3),
+                }
+        rec = {
+            "solver": solver, "iters": its,
+            "relres": float(res.relres), "solve_s": round(t_solve, 3),
+            "s_per_iter": round(t_it, 5), "setup_s": round(setup_s, 2),
+            "converged": bool(res.converged),
+            "time_to_tol": crossings,
+            "history_decimated": [float(h) for h in hist[: its + 1 : max(1, its // 50)]],
+        }
+        out["runs"][f"{name}:{solver}"] = rec
+        cross_str = " ".join(f"{k}@{v['iters']}it/{v['time_s']}s"
+                             for k, v in crossings.items())
+        print(f"{name:8s} {solver:6s} | iters {its:4d} | relres {rec['relres']:.2e} "
+              f"| solve {t_solve:.2f}s | setup {setup_s:.1f}s | {cross_str}",
+              flush=True)
 
-    solve("none", None)
+    def run_both(name, pre, setup_s):
+        psolve = pre.solve if pre is not None else None
+        pcg_run = jax.jit(lambda op, bb: pcg(
+            lambda v: mv(op, v), bb, precond=psolve,
+            tol=args.tol, maxits=args.maxits))
+        res = jax.block_until_ready(pcg_run(operand, b))
+        t0 = time.time()
+        res = jax.block_until_ready(pcg_run(operand, b))
+        report(name, "pcg", res, time.time() - t0, setup_s)
 
-    t0 = time.time()
-    perm = expand_perm(rand_perm(jax.random.PRNGKey(7), n, args.rank), n)
-    nys = jax.jit(
-        lambda Xv, pp: nystrom_setup("gaussian", pp, Xv, perm, args.rank, windows=windows)
-    )(X, params)
-    jax.block_until_ready(nys.U)
-    print(f"nystrom setup {time.time() - t0:.1f}s", flush=True)
-    solve("nystrom", nys)
+        fg_run = jax.jit(lambda op, bb: fgmres(
+            lambda v: mv(op, v), bb, precond=psolve,
+            kdim=args.fgmres_kdim, maxits=args.maxits, tol=args.tol))
+        resf = jax.block_until_ready(fg_run(operand, b))
+        t0 = time.time()
+        resf = jax.block_until_ready(fg_run(operand, b))
+        report(name, "fgmres", resf, time.time() - t0, setup_s)
 
-    t0 = time.time()
-    perm_k = fps(X, args.rank).perm
-    perm_a = np.asarray(expand_perm(perm_k, n))
-    X2 = X[perm_a[args.rank:]]
-    idx, mask = knn_pattern(X2, args.lfil)
-    aplan = AfnPlan(perm=perm_a, k=args.rank, use_ran=False,
-                    pattern=(np.asarray(idx), np.asarray(mask)))
-    afn = jax.jit(
-        lambda Xv, pp: afn_setup_from_plan("gaussian", pp, Xv, aplan, windows=windows)
-    )(X, params)
-    jax.block_until_ready(afn.L11)
-    print(f"afn setup {time.time() - t0:.1f}s", flush=True)
-    solve("afn", afn)
+    precs = args.precs.split(",")
+    if "none" in precs:
+        run_both("none", None, 0.0)
+
+    if "nystrom" in precs:
+        t0 = time.time()
+        perm = rand_perm(jax.random.PRNGKey(7), n, args.rank)
+        nys = jax.jit(
+            lambda Xv, pp: nystrom_setup(args.kernel, pp, Xv, perm, args.rank,
+                                         windows=windows)
+        )(X, params)
+        jax.block_until_ready(nys.U)
+        run_both("nystrom", nys, time.time() - t0)
+
+    if "afn" in precs:
+        t0 = time.time()
+        perm_k = fps(X, args.rank).perm
+        perm_a = np.asarray(jax.jit(lambda p: expand_perm(p, n))(perm_k))
+        idx, mask = jax.jit(
+            lambda Xv: knn_pattern(Xv, args.lfil)
+        )(X[perm_a[args.rank:]])
+        aplan = AfnPlan(perm=perm_a, k=args.rank, use_ran=False,
+                        pattern=(np.asarray(idx), np.asarray(mask)))
+        afn = jax.jit(
+            lambda Xv, pp: afn_setup_from_plan(args.kernel, pp, Xv, aplan,
+                                               windows=windows)
+        )(X, params)
+        jax.block_until_ready(afn.L11)
+        run_both("afn", afn, time.time() - t0)
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote {args.json}", flush=True)
 
 
 if __name__ == "__main__":

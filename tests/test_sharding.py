@@ -171,3 +171,161 @@ def test_sharded_fsai_setup_matches_local(mesh, problem):
     np.testing.assert_allclose(
         np.asarray(pre.solve(b)), np.asarray(ref.solve(b)), rtol=1e-10
     )
+
+
+def test_sharded_nearfield_matvec(mesh):
+    """Cross-shard ELL apply == local (S + S' - diag) x."""
+    from nfft4gp_tpu.ops.knn import knn_pattern
+    from nfft4gp_tpu.ops.fastsum import nearfield_matvec
+    from nfft4gp_tpu.parallel.sharded import sharded_nearfield_matvec
+
+    rng = np.random.default_rng(3)
+    n, lfil = 128, 6
+    X = jnp.asarray(rng.uniform(size=(n, 2)))
+    idx, mask = knn_pattern(X, lfil)
+    val = jnp.where(mask, jnp.asarray(rng.normal(size=(n, lfil))), 0.0)
+    x = jnp.asarray(rng.normal(size=(n,)))
+    y_ref = nearfield_matvec(idx, val, x)
+    idx_s, val_s, x_s = shard_points(mesh, idx, val, x)
+    y = jax.jit(sharded_nearfield_matvec(mesh, idx_s, val_s))(x_s)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-10)
+    assert y.sharding.spec == P("points")
+
+
+def test_sharded_fastsum_matvec_with_nearfield(mesh):
+    """Sharded matern12 matvec (near-field ON) == single-chip (weak #3 fix:
+    the sharded path no longer forfeits the non-smooth-kernel correction)."""
+    import dataclasses
+    from nfft4gp_tpu.ops.fastsum import fastsum_build, fastsum_matvec
+    from nfft4gp_tpu.parallel.sharded import sharded_fastsum_matvec
+
+    rng = np.random.default_rng(5)
+    n = 256
+    X = jnp.asarray(rng.uniform(size=(n, 2)))
+    p = KernelParams.make(1.0, 0.3, 0.1)
+    b = jnp.asarray(rng.normal(size=(n,)))
+    plan = fastsum_build("matern12", p, X, N=16, nearfield_lfil=8)
+    assert plan.nf_val is not None
+    y_ref = fastsum_matvec(plan, b)
+    sh_E = NamedSharding(mesh, P(None, "points", None))
+    geom_s = dataclasses.replace(
+        plan.geom,
+        Tcs=jax.device_put(plan.geom.Tcs, sh_E),
+        x=shard_points(mesh, plan.geom.x),
+    )
+    plan_s = dataclasses.replace(
+        plan, geom=geom_s,
+        nf_idx=shard_points(mesh, plan.nf_idx),
+        nf_val=shard_points(mesh, plan.nf_val),
+        nf_dval=shard_points(mesh, plan.nf_dval),
+    )
+    b_s = shard_points(mesh, b)
+    y = jax.jit(sharded_fastsum_matvec(mesh, plan_s))(b_s)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-9)
+    assert y.sharding.spec == P("points")
+
+
+@pytest.fixture(scope="module")
+def stream_problem():
+    from nfft4gp_tpu.ops.kernels import make_windows
+    from nfft4gp_tpu.ops import fastsum as fs
+
+    rng = np.random.default_rng(9)
+    n, d = 256, 4
+    X = jnp.asarray(rng.uniform(size=(n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
+    windows = make_windows([[0, 1], [2, 3], [1]])
+    p = KernelParams.make(1.0, 0.5, 0.1, dtype=jnp.float32)
+    plan = fs.additive_fastsum_build("matern12", p, X, windows)
+    return X, p, v, windows, plan
+
+
+def test_sharded_stream_ops_match_single_chip(mesh, stream_problem):
+    """shard_map'd streamed packed-NDFT == single-chip packed kernels
+    (same edge-trimmed modes, so the parity is roundoff-tight)."""
+    from jax.sharding import NamedSharding
+    from nfft4gp_tpu.ops import fastsum as fs
+    from nfft4gp_tpu.parallel.sharded import sharded_stream_ops, _plan_specs
+
+    X, p, v, windows, plan = stream_problem
+    pn = fs.packed_ndft_plan(plan)
+    y_ref = fs.packed_ndft_matvec(pn, v, interpret=True, upcast=True)
+    dy_ref = fs.packed_ndft_grad_matvec(pn, v, interpret=True, upcast=True)
+
+    specs = _plan_specs(plan, "points")
+    plan_s = jax.tree_util.tree_map(
+        lambda leaf, sp: jax.device_put(leaf, NamedSharding(mesh, sp)),
+        plan, specs,
+    )
+    v_s = shard_points(mesh, v)
+    mv, dmv = sharded_stream_ops(mesh, plan_s)
+    y = jax.jit(mv)(v_s)
+    dy = jax.jit(dmv)(v_s)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dy), np.asarray(dy_ref),
+                               rtol=2e-5, atol=2e-5)
+    assert y.sharding.spec == P("points")
+    # vmapped probes dispatch to the native multi-RHS batch path
+    Vb = jnp.stack([v, 2.0 * v, -v])
+    Yb = jax.jit(lambda vv: jax.vmap(mv)(vv))(Vb)
+    np.testing.assert_allclose(np.asarray(Yb[1]), 2.0 * np.asarray(y_ref),
+                               rtol=2e-5, atol=5e-5)
+
+
+def test_sharded_nystrom_setup_matches_local(mesh, stream_problem):
+    """Gram-eigh distributed Nyström == tall-SVD single-chip setup."""
+    from nfft4gp_tpu.preconds.nystrom import nystrom_setup
+    from nfft4gp_tpu.parallel.sharded import sharded_nystrom_setup
+
+    X, p, v, windows, _plan = stream_problem
+    rng = np.random.default_rng(11)
+    k = 32
+    perm = jnp.asarray(rng.permutation(X.shape[0])[:k])
+    ref = nystrom_setup("gaussian", p, X, perm, k, windows=windows)
+    Xk = X[perm]
+    X_s = shard_points(mesh, X)
+    pre = jax.jit(
+        lambda Xv, Xkv: sharded_nystrom_setup(
+            mesh, "gaussian", p, Xv, Xkv, windows=windows)
+    )(X_s, Xk)
+    r_ref = ref.solve(v)
+    r = pre.solve(shard_points(mesh, v))
+    np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref),
+                               rtol=2e-4, atol=2e-4 * float(jnp.max(jnp.abs(r_ref))))
+    np.testing.assert_allclose(float(pre.logdet()), float(ref.logdet()), rtol=1e-5)
+
+
+def test_sharded_train_step_afn_matern12(mesh):
+    """Training factory: AFN precond + matern12 (near-field ON) sharded step
+    matches the single-device step (the dryrun acceptance criterion)."""
+    from nfft4gp_tpu.ops.kernels import make_windows
+    from nfft4gp_tpu.models.adam import adam_init
+    from nfft4gp_tpu.preconds.afn import afn_plan
+    from nfft4gp_tpu.parallel.training import (
+        make_sharded_train_step,
+        shard_training_data,
+    )
+    from nfft4gp_tpu.solvers.lanczos import rademacher_probes
+
+    rng = np.random.default_rng(21)
+    n, d = 256, 4
+    X = jnp.asarray(rng.uniform(size=(n, d)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
+    windows = make_windows([[0, 1], [2, 3]])
+    probes = rademacher_probes(jax.random.PRNGKey(1), 4, n, dtype=jnp.float32)
+    p0 = KernelParams.make(1.0, 1.0, 0.1, dtype=jnp.float32)
+    aplan = afn_plan("matern12", p0, X, maxrank=24, lfil=6,
+                     key=jax.random.PRNGKey(2), force_afn=True, rank=24)
+    step = make_sharded_train_step(
+        windows, kernel="matern12", precond="afn", afn_plan=aplan,
+        slq_its=4, nvecs=4, fastsum_N=16, engine="table",
+    )
+    raw0 = jnp.asarray([0.5, -0.5, -2.0], jnp.float32)
+    _, loss_ref, grad_ref = step(adam_init(raw0), X, y, probes)
+    X_s, y_s, probes_s = shard_training_data(mesh, X, y, probes)
+    _, loss, grad = step(adam_init(raw0), X_s, y_s, probes_s)
+    assert bool(jnp.isfinite(loss))
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(grad_ref),
+                               rtol=1e-3, atol=1e-5)
