@@ -167,6 +167,10 @@ class GPProblem:
                         self.kernel, g, self._nf_lfil()
                     )
                 )(geom)
+                # symmetrize on host (once per dataset): the apply becomes a
+                # single gather-matvec — the scatter-add transpose product
+                # serializes on the tunneled TPU backend (r4 profiling)
+                nf_pats = fs.symmetrize_nearfield_patterns(nf_pats)
 
             if self.fastsum_fused and self.fastsum_engine == "stream":
                 raise ValueError(
@@ -209,6 +213,9 @@ class GPProblem:
             nf_pat = jax.jit(
                 lambda g: fs.nearfield_patterns(self.kernel, g, self._nf_lfil())
             )(geom)
+            sidx, smask = fs.symmetrize_pattern(nf_pat[0], nf_pat[1])
+            import jax.numpy as _jnp
+            nf_pat = (_jnp.asarray(sidx), _jnp.asarray(smask), True)
 
         def build(params):
             plan = fs.fastsum_coeffs(

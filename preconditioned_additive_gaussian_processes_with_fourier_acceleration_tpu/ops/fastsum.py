@@ -116,7 +116,7 @@ def _full_tables(x, N: int):
     return jnp.moveaxis(Ecs, 1, 0)
 
 
-@pytree_dataclass(static_fields=("N", "d", "kind"))
+@pytree_dataclass(static_fields=("N", "d", "kind", "nf_sym"))
 class FastsumPlan:
     """Kernel-specific plan: geometry + real Fourier coefficient stacks.
 
@@ -147,6 +147,12 @@ class FastsumPlan:
     nf_idx: Optional[jnp.ndarray] = None    # (n, lfil) int32, self in last slot
     nf_val: Optional[jnp.ndarray] = None    # (n, lfil) phi_exact - phi_fourier
     nf_dval: Optional[jnp.ndarray] = None   # (n, lfil) same for d/dl
+    nf_sym: bool = False                    # True: nf pattern is SYMMETRIZED
+    # (each undirected edge + self appear once per row) and the apply is ONE
+    # gather-based ell_matvec — no scatter-add transpose product, which
+    # serializes on the tunneled TPU backend.  Correction values depend only
+    # on the pair distance, so the symmetrized matrix equals S + S' - diag
+    # of the lower-tri form exactly.  See symmetrize_pattern.
 
 
 # --- parity folding ---------------------------------------------------------
@@ -307,13 +313,65 @@ def nearfield_matvec(idx, val, x):
     )
 
 
+def nearfield_apply(sym: bool, idx, val, x):
+    """Near-field product: one ELL gather-matvec for symmetric patterns,
+    the legacy S + S' - diag form for lower-tri in-jit patterns."""
+    from .matops import ell_matvec
+
+    if sym:
+        return ell_matvec(idx, val, x)
+    return nearfield_matvec(idx, val, x)
+
+
+def symmetrize_pattern(idx, mask):
+    """HOST-side symmetrization of a lower-tri KNN pattern (self at slot -1).
+
+    Returns numpy (sym_idx, sym_mask) of shape (n, lfil_s) where row i lists
+    each undirected neighbor edge once plus self once.  An ELL matrix built
+    by evaluating a SYMMETRIC pair function on this pattern is symmetric,
+    so the near-field apply is a single gather-based ell_matvec — the
+    scatter-add transpose product of the lower-tri form serializes on the
+    tunneled TPU backend (~15 ms at (1e5, 16), r4 profiling).
+    """
+    import numpy as _np
+
+    idx = _np.asarray(idx)
+    mask = _np.asarray(mask)
+    n, lfil = idx.shape
+    rows, slots = _np.nonzero(mask)
+    cols = idx[rows, slots]
+    keep = rows != cols                      # drop self edges; re-add once
+    e_r = _np.concatenate([rows[keep], cols[keep], _np.arange(n)])
+    e_c = _np.concatenate([cols[keep], rows[keep], _np.arange(n)])
+    order = _np.argsort(e_r, kind="stable")
+    e_r, e_c = e_r[order], e_c[order]
+    starts = _np.searchsorted(e_r, _np.arange(n))
+    counts = _np.searchsorted(e_r, _np.arange(n) + 1) - starts
+    lfil_s = int(counts.max()) if counts.size else 1
+    sym_idx = _np.zeros((n, lfil_s), _np.int32)
+    sym_mask = _np.zeros((n, lfil_s), bool)
+    rank = _np.arange(e_r.size) - starts[e_r]
+    sym_idx[e_r, rank] = e_c
+    sym_mask[e_r, rank] = True
+    return sym_idx, sym_mask
+
+
 def nearfield_patterns(kind: str, geom: FastsumGeometry,
-                       nearfield_lfil=None):
-    """Precompute the params-independent KNN pattern for a single plan."""
+                       nearfield_lfil=None, *, sym: bool = False):
+    """Precompute the params-independent KNN pattern for a single plan.
+
+    sym=True (host-side callers only): symmetrize the pattern so the
+    near-field apply is one gather-matvec (see symmetrize_pattern)."""
     from .knn import knn_pattern
 
     lfil = _resolve_nf_lfil(kind, nearfield_lfil, geom.x.shape[0], geom.d)
-    return knn_pattern(geom.x, lfil) if lfil > 0 else None
+    if lfil == 0:
+        return None
+    pat = knn_pattern(geom.x, lfil)
+    if not sym:
+        return pat
+    sidx, smask = symmetrize_pattern(pat[0], pat[1])
+    return (jnp.asarray(sidx), jnp.asarray(smask), True)
 
 
 def additive_nearfield_patterns(kind: str, geom, nearfield_lfil=None):
@@ -336,6 +394,33 @@ def additive_nearfield_patterns(kind: str, geom, nearfield_lfil=None):
         else:
             pats.append(jax.vmap(lambda xw: knn_pattern(xw, lfil))(bg.x))
     return tuple(pats)
+
+
+def symmetrize_nearfield_patterns(pats):
+    """HOST-side post-pass over additive_nearfield_patterns output: per
+    window, symmetrize the lower-tri KNN pattern (symmetrize_pattern) so the
+    near-field apply is one gather-matvec.  Per-group windows pad to a
+    common lfil_s.  Returns per-group (idx, mask, True) triples.
+    """
+    import numpy as _np
+
+    out = []
+    for pat in pats:
+        if pat is None:
+            out.append(None)
+            continue
+        idxs, masks = _np.asarray(pat[0]), _np.asarray(pat[1])
+        syms = [symmetrize_pattern(idxs[w], masks[w]) for w in range(idxs.shape[0])]
+        lf = max(si.shape[1] for si, _ in syms)
+        n = idxs.shape[1]
+        Wg = idxs.shape[0]
+        sidx = _np.zeros((Wg, n, lf), _np.int32)
+        smask = _np.zeros((Wg, n, lf), bool)
+        for w, (si, sm) in enumerate(syms):
+            sidx[w, :, : si.shape[1]] = si
+            smask[w, :, : si.shape[1]] = sm
+        out.append((jnp.asarray(sidx), jnp.asarray(smask), True))
+    return tuple(out)
 
 
 def _resolve_nf_lfil(kind: str, nearfield_lfil, n: int, d: int) -> int:
@@ -400,7 +485,10 @@ def fastsum_coeffs(kind: str, params: KernelParams, geom: FastsumGeometry,
         b = jnp.maximum(b, 0.0)
     db_l = coeffs(dk_dl_samp)
     nf_idx = nf_val = nf_dval = None
+    nf_sym = False
     nearfield_lfil = _resolve_nf_lfil(kind, nearfield_lfil, geom.x.shape[0], geom.d)
+    if nf_pattern is not None and len(nf_pattern) == 3:
+        nf_pattern, nf_sym = nf_pattern[:2], bool(nf_pattern[2])
     if nearfield_lfil > 0 or nf_pattern is not None:
         nf_idx, nf_val, nf_dval = nearfield_correction(
             kind, params, geom, b, db_l, nearfield_lfil, pattern=nf_pattern
@@ -408,7 +496,7 @@ def fastsum_coeffs(kind: str, params: KernelParams, geom: FastsumGeometry,
     return FastsumPlan(
         N=N, d=d, kind=kind, geom=geom, b=b, db_l=db_l,
         w=fold_coeffs(b, N, d), dw_l=fold_coeffs(db_l, N, d), params=params,
-        nf_idx=nf_idx, nf_val=nf_val, nf_dval=nf_dval,
+        nf_idx=nf_idx, nf_val=nf_val, nf_dval=nf_dval, nf_sym=nf_sym,
     )
 
 
@@ -608,10 +696,48 @@ def _folded_forward(Tcs, B):
     raise NotImplementedError
 
 
-def _folded_apply_multi(Tcs, W_list, x):
-    """One adjoint, one forward per folded weight stack (shared NDFT1)."""
+def _folded_adjoint_comp(Tcs, alpha, chunk: int = 8192):
+    """Chunked-COMPENSATED folded adjoint (float-float combination).
+
+    The adjoint is the matvec's only n-long reduction, so plain f32 MXU
+    accumulation carries ~sqrt(n)*eps relative noise (~1e-4 at n=1e6) —
+    the floor that stalls deep-tolerance PCG on chip (the reference runs
+    f64 CPU, SRC/utils/utils.h:28-32).  Splitting the points axis into
+    `chunk`-sized GEMMs and combining the per-chunk (2P,)^d mode tensors
+    with an error-free TwoSum scan caps the accumulation error at
+    ~sqrt(chunk)*eps (~5e-6), independent of n, for ~zero extra HBM
+    traffic (the mode tensors are tiny) and full-size MXU chunk GEMMs.
+    """
+    from ..solvers.reductions import _two_sum
+
+    d, n = Tcs.shape[0], Tcs.shape[1]
+    if n <= chunk:
+        return _folded_adjoint(Tcs, alpha)
+    nb = -(-n // chunk)
+    npad = nb * chunk
+    Tp = jnp.zeros((d, npad, Tcs.shape[2]), Tcs.dtype).at[:, :n].set(Tcs)
+    ap = jnp.zeros((npad,), alpha.dtype).at[:n].set(alpha)
+    Tc = Tp.reshape(d, nb, chunk, Tcs.shape[2])
+    ac = ap.reshape(nb, chunk)
+    parts = jax.vmap(_folded_adjoint, in_axes=(1, 0))(Tc, ac)
+
+    def step(carry, p):
+        hi, lo = carry
+        hi, e = _two_sum(hi, p)
+        return (hi, lo + e), None
+
+    z = jnp.zeros_like(parts[0])
+    (hi, lo), _ = jax.lax.scan(step, (z, z), parts)
+    return hi + lo
+
+
+def _folded_apply_multi(Tcs, W_list, x, *, compensated: bool = False):
+    """One adjoint, one forward per folded weight stack (shared NDFT1).
+
+    compensated=True uses the chunked float-float adjoint (see
+    _folded_adjoint_comp) — the deep-tolerance operator mode."""
     d = Tcs.shape[0]
-    A = _folded_adjoint(Tcs, x)
+    A = _folded_adjoint_comp(Tcs, x) if compensated else _folded_adjoint(Tcs, x)
     return [_folded_forward(Tcs, _folded_combine(W, A, d)) for W in W_list]
 
 
@@ -626,24 +752,25 @@ def fastsum_base_apply(plan: FastsumPlan, coeffs, x):
     return y
 
 
-def fastsum_matvec(plan: FastsumPlan, x):
+def fastsum_matvec(plan: FastsumPlan, x, *, compensated: bool = False):
     """y = f^2 (ksum(x) + mu x) — ref Nfft4GPNFFTMatSymv nfft_interface.c:400-497."""
     p = plan.params
     f2 = p.f * p.f
-    (y,) = _folded_apply_multi(plan.geom.Tcs, [plan.w], x)
+    (y,) = _folded_apply_multi(plan.geom.Tcs, [plan.w], x, compensated=compensated)
     if plan.nf_val is not None:
-        y = y + nearfield_matvec(plan.nf_idx, plan.nf_val, x)
+        y = y + nearfield_apply(plan.nf_sym, plan.nf_idx, plan.nf_val, x)
     return f2 * (y + p.mu * x)
 
 
-def fastsum_grad_matvec(plan: FastsumPlan, x):
+def fastsum_grad_matvec(plan: FastsumPlan, x, *, compensated: bool = False):
     """(3, n) stacked dK_j x — ref nfft_interface.c:499-620."""
     p = plan.params
     f2 = p.f * p.f
-    k_part, dl_part = _folded_apply_multi(plan.geom.Tcs, [plan.w, plan.dw_l], x)
+    k_part, dl_part = _folded_apply_multi(plan.geom.Tcs, [plan.w, plan.dw_l], x,
+                                          compensated=compensated)
     if plan.nf_val is not None:
-        k_part = k_part + nearfield_matvec(plan.nf_idx, plan.nf_val, x)
-        dl_part = dl_part + nearfield_matvec(plan.nf_idx, plan.nf_dval, x)
+        k_part = k_part + nearfield_apply(plan.nf_sym, plan.nf_idx, plan.nf_val, x)
+        dl_part = dl_part + nearfield_apply(plan.nf_sym, plan.nf_idx, plan.nf_dval, x)
     y_f = 2.0 * p.f * (k_part + p.mu * x)
     y_l = f2 * dl_part
     y_mu = f2 * x
@@ -721,10 +848,11 @@ def additive_fastsum_coeffs(
                                          nearfield_lfil=nearfield_lfil)
             )(bg)
         else:
+            sym = bool(pat[2]) if len(pat) == 3 else False
             plans = jax.vmap(
                 lambda g, pi, pm: fastsum_coeffs(
                     kind, params, g, psd_clip=psd_clip, oversample=oversample,
-                    nearfield_lfil=nearfield_lfil, nf_pattern=(pi, pm),
+                    nearfield_lfil=nearfield_lfil, nf_pattern=(pi, pm, sym),
                 )
             )(bg, pat[0], pat[1])
         plan_groups.append((dw, order, plans))
@@ -741,20 +869,21 @@ def additive_fastsum_build(kind, params, X, windows, N: int = 32,
     )
 
 
-def _window_apply(pl, x):
+def _window_apply(pl, x, compensated: bool = False):
     """Single-window ksum(x) including the optional near-field correction."""
-    (y,) = _folded_apply_multi(pl.geom.Tcs, [pl.w], x)
+    (y,) = _folded_apply_multi(pl.geom.Tcs, [pl.w], x, compensated=compensated)
     if pl.nf_val is not None:
-        y = y + nearfield_matvec(pl.nf_idx, pl.nf_val, x)
+        y = y + nearfield_apply(pl.nf_sym, pl.nf_idx, pl.nf_val, x)
     return y
 
 
-def additive_fastsum_matvec(plan: AdditiveFastsumPlan, x):
+def additive_fastsum_matvec(plan: AdditiveFastsumPlan, x, *,
+                            compensated: bool = False):
     """y = f^2 ( mean_w ksum_w(x) + mu x ) — ref nfft_interface.c:796-817."""
     p = plan.params
     acc = jnp.zeros_like(x)
     for dw, order, plans in plan.groups:
-        contrib = jax.vmap(lambda pl: _window_apply(pl, x))(plans)
+        contrib = jax.vmap(lambda pl: _window_apply(pl, x, compensated))(plans)
         acc = acc + jnp.sum(contrib, axis=0)
     f2 = p.f * p.f
     return f2 * (acc / plan.n_windows + p.mu * x)
@@ -849,12 +978,13 @@ def _packed_apply(plan: AdditiveFastsumPlan, x, weight_sel, *, block: int,
         for s in range(nsets):
             accs[s] = accs[s] + ys[s]
         # near-field corrections (sparse, tiny next to the NDFT)
+        nf_sym = plan.groups[0][2].nf_sym
         for s, (sel, nfsel) in enumerate(weight_sel):
             for trip in list(nf2) + list(nf1):
                 if trip is not None:
                     idx, val, dval = trip
-                    accs[s] = accs[s] + nearfield_matvec(
-                        idx, val if nfsel == "nf_val" else dval, x
+                    accs[s] = accs[s] + nearfield_apply(
+                        nf_sym, idx, val if nfsel == "nf_val" else dval, x
                     )
 
     for dw, order, plans in rest:
@@ -864,7 +994,8 @@ def _packed_apply(plan: AdditiveFastsumPlan, x, weight_sel, *, block: int,
                     pl_.geom.Tcs, [pl_.w if sel == "w" else pl_.dw_l], x
                 )[0]
                 + (
-                    nearfield_matvec(
+                    nearfield_apply(
+                        pl_.nf_sym,
                         pl_.nf_idx,
                         pl_.nf_val if nfsel == "nf_val" else pl_.nf_dval,
                         x,
@@ -918,17 +1049,19 @@ def additive_fastsum_grad_matvec_fused(plan: AdditiveFastsumPlan, x, *,
     return jnp.stack([y_f, y_l, y_mu])
 
 
-def additive_fastsum_grad_matvec(plan: AdditiveFastsumPlan, x):
+def additive_fastsum_grad_matvec(plan: AdditiveFastsumPlan, x, *,
+                                 compensated: bool = False):
     """(3, n) — ref Nfft4GPAdditiveNFFTGradMatSymv nfft_interface.c:819-840."""
     p = plan.params
     k_acc = jnp.zeros_like(x)
     l_acc = jnp.zeros_like(x)
     for dw, order, plans in plan.groups:
         def one(pl):
-            kp, lp = _folded_apply_multi(pl.geom.Tcs, [pl.w, pl.dw_l], x)
+            kp, lp = _folded_apply_multi(pl.geom.Tcs, [pl.w, pl.dw_l], x,
+                                         compensated=compensated)
             if pl.nf_val is not None:
-                kp = kp + nearfield_matvec(pl.nf_idx, pl.nf_val, x)
-                lp = lp + nearfield_matvec(pl.nf_idx, pl.nf_dval, x)
+                kp = kp + nearfield_apply(pl.nf_sym, pl.nf_idx, pl.nf_val, x)
+                lp = lp + nearfield_apply(pl.nf_sym, pl.nf_idx, pl.nf_dval, x)
             return kp, lp
 
         kps, lps = jax.vmap(one)(plans)
@@ -944,7 +1077,7 @@ def additive_fastsum_grad_matvec(plan: AdditiveFastsumPlan, x):
 
 # --- streamed packed-NDFT plan (the round-3 speed-of-light path) ------------
 
-@pytree_dataclass(static_fields=("P", "n", "block", "pairs", "singles"))
+@pytree_dataclass(static_fields=("P", "n", "block", "pairs", "singles", "nf_sym"))
 class PackedNDFT:
     # NOTE: n_windows stays a LEAF (it arrives as a traced value when the
     # plan is built inside jit); P/n/block/pairs/singles derive from python
@@ -980,6 +1113,7 @@ class PackedNDFT:
     nf1: tuple
     rest: tuple                # d=3 window groups (table path)
     params: KernelParams
+    nf_sym: bool = False       # symmetric nf patterns (see FastsumPlan.nf_sym)
 
 
 def packed_ndft_plan(plan: AdditiveFastsumPlan, *, table_dtype=None,
@@ -1013,6 +1147,7 @@ def packed_ndft_plan(plan: AdditiveFastsumPlan, *, table_dtype=None,
         w2=tuple(trim2(W) for W in w2), dw2=tuple(trim2(W) for W in dw2),
         w1=tuple(trim1(W) for W in w1), dw1=tuple(trim1(W) for W in dw1),
         nf2=tuple(nf2), nf1=tuple(nf1), rest=tuple(rest), params=plan.params,
+        nf_sym=plan.groups[0][2].nf_sym,
     )
 
 
@@ -1056,8 +1191,8 @@ def _packed_ndft_apply(pn: PackedNDFT, x, weight_sel, *, prec: str,
             for trip in list(pn.nf2) + list(pn.nf1):
                 if trip is not None:
                     idx, val, dval = trip
-                    accs[s] = accs[s] + nearfield_matvec(
-                        idx, val if nfsel == "nf_val" else dval, x
+                    accs[s] = accs[s] + nearfield_apply(
+                        pn.nf_sym, idx, val if nfsel == "nf_val" else dval, x
                     )
 
     for dw, order, plans in pn.rest:
@@ -1067,7 +1202,8 @@ def _packed_ndft_apply(pn: PackedNDFT, x, weight_sel, *, prec: str,
                     pl_.geom.Tcs, [pl_.w if sel == "w" else pl_.dw_l], x
                 )[0]
                 + (
-                    nearfield_matvec(
+                    nearfield_apply(
+                        pl_.nf_sym,
                         pl_.nf_idx,
                         pl_.nf_val if nfsel == "nf_val" else pl_.nf_dval,
                         x,
@@ -1131,7 +1267,8 @@ def packed_ndft_matvec_batch(pn: PackedNDFT, Xb, *, prec: str = "highest",
         for trip in list(pn.nf2) + list(pn.nf1):
             if trip is not None:
                 idx, val, _ = trip
-                acc = acc + jax.vmap(lambda v: nearfield_matvec(idx, val, v))(Xb)
+                acc = acc + jax.vmap(
+                    lambda v: nearfield_apply(pn.nf_sym, idx, val, v))(Xb)
 
     for dw, order, plans in pn.rest:
         # vmap over the probe axis (not a Python unroll): traced program
@@ -1141,7 +1278,8 @@ def packed_ndft_matvec_batch(pn: PackedNDFT, Xb, *, prec: str = "highest",
                 lambda v: _folded_apply_multi(pl_.geom.Tcs, [pl_.w], v)[0]
             )(Xb)
             + (
-                jax.vmap(lambda v: nearfield_matvec(pl_.nf_idx, pl_.nf_val, v))(Xb)
+                jax.vmap(lambda v: nearfield_apply(
+                    pl_.nf_sym, pl_.nf_idx, pl_.nf_val, v))(Xb)
                 if pl_.nf_val is not None
                 else 0.0
             )
@@ -1196,9 +1334,9 @@ def packed_ndft_grad_matvec_batch(pn: PackedNDFT, Xb, *, prec: str = "highest",
             if trip is not None:
                 idx, val, dval = trip
                 k_acc = k_acc + jax.vmap(
-                    lambda v: nearfield_matvec(idx, val, v))(Xb)
+                    lambda v: nearfield_apply(pn.nf_sym, idx, val, v))(Xb)
                 l_acc = l_acc + jax.vmap(
-                    lambda v: nearfield_matvec(idx, dval, v))(Xb)
+                    lambda v: nearfield_apply(pn.nf_sym, idx, dval, v))(Xb)
 
     for dw, order, plans in pn.rest:
         # vmap over probes (outer) and windows (inner): traced program size
@@ -1206,8 +1344,8 @@ def packed_ndft_grad_matvec_batch(pn: PackedNDFT, Xb, *, prec: str = "highest",
         def both(pl_, x):
             kp, lp = _folded_apply_multi(pl_.geom.Tcs, [pl_.w, pl_.dw_l], x)
             if pl_.nf_val is not None:
-                kp = kp + nearfield_matvec(pl_.nf_idx, pl_.nf_val, x)
-                lp = lp + nearfield_matvec(pl_.nf_idx, pl_.nf_dval, x)
+                kp = kp + nearfield_apply(pl_.nf_sym, pl_.nf_idx, pl_.nf_val, x)
+                lp = lp + nearfield_apply(pl_.nf_sym, pl_.nf_idx, pl_.nf_dval, x)
             return kp, lp
 
         kc, lc = jax.vmap(

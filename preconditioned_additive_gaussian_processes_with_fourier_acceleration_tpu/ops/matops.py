@@ -162,3 +162,51 @@ def ell_triu_solve(idx, val, b, *, block: int = 256):
 
     y, _ = jax.lax.fori_loop(0, nb, body, (y, rpad))
     return y[:n]
+
+
+def ell_transpose_pattern(idx, mask, lfil_t=None):
+    """HOST-side transpose pattern of a padded-ELL lower-triangular matrix.
+
+    Returns numpy (t_rows, t_slot, t_mask) of shape (n, lfil_t) such that
+    row c of G' collects the entries val[t_rows[c, s], t_slot[c, s]] — i.e.
+    the transpose product becomes a GATHER-only contraction
+    (ell_rmatvec_t below).  The scatter-add form (ell_rmatvec) lowers to a
+    serialized scatter on the tunneled TPU backend (~15 ms at (1e5, 16),
+    the dominant cost of the AFN/FSAI apply — .r4 profiling); the pattern
+    is params-independent, so training loops build it once per dataset.
+
+    lfil_t defaults to the exact maximum column in-degree.
+    """
+    import numpy as np
+
+    idx = np.asarray(idx)
+    mask = np.asarray(mask)
+    n, lfil = idx.shape
+    rows, slots = np.nonzero(mask)
+    cols = idx[rows, slots]
+    order = np.argsort(cols, kind="stable")
+    cols_s, rows_s, slots_s = cols[order], rows[order], slots[order]
+    starts = np.searchsorted(cols_s, np.arange(n))
+    ends = np.searchsorted(cols_s, np.arange(n) + 1)
+    counts = ends - starts
+    need = int(counts.max()) if counts.size else 1
+    lfil_t = need if lfil_t is None else max(int(lfil_t), need)
+    t_rows = np.zeros((n, lfil_t), np.int32)
+    t_slot = np.zeros((n, lfil_t), np.int32)
+    t_mask = np.zeros((n, lfil_t), bool)
+    rank = np.arange(cols_s.size) - starts[cols_s]
+    t_rows[cols_s, rank] = rows_s
+    t_slot[cols_s, rank] = slots_s
+    t_mask[cols_s, rank] = True
+    return t_rows, t_slot, t_mask
+
+
+def ell_rmatvec_t(t_rows, t_slot, t_mask, val, x):
+    """y = G' x via the precomputed transpose pattern — gathers only.
+
+    val: the (n, lfil) ELL values of G (any value array on G's pattern, e.g.
+    dG rows); x: (n,).  Equivalent to ell_rmatvec(idx, val, x) but with no
+    scatter in the apply (see ell_transpose_pattern).
+    """
+    contrib = val[t_rows, t_slot] * x[t_rows]
+    return jnp.sum(jnp.where(t_mask, contrib, 0.0), axis=1)

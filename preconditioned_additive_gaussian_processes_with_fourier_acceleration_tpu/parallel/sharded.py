@@ -95,11 +95,15 @@ def sharded_ndft_adjoint(mesh: Mesh, axis_name: str = POINTS_AXIS):
     return adjoint
 
 
-def _nearfield_local(idx_b, val_b, xb, xf, axis_name: str):
+def _nearfield_local(idx_b, val_b, xb, xf, axis_name: str,
+                     sym: bool = False):
     """Cross-shard near-field ELL apply, shard-local frame.
 
-    The padded-ELL pattern rows are sharded with the points; column indices
-    are GLOBAL.  y = (S + S' - diag S) x becomes:
+    sym=True (symmetrized pattern, ops/fastsum.symmetrize_pattern): the
+    matrix rows ARE the full symmetric stencil, so the apply is one local
+    gather against the all-gathered x — no transpose, no reduce-scatter.
+
+    sym=False (lower-tri in-jit pattern): y = (S + S' - diag S) x:
       forward  S x   : local rows gather from the all-gathered x (xf)
       transpose S' x : local rows scatter-add into a GLOBAL accumulator that
                        is reduce-scattered back to the row sharding — the
@@ -109,6 +113,8 @@ def _nearfield_local(idx_b, val_b, xb, xf, axis_name: str):
     """
     n_global = xf.shape[0]
     fwd = jnp.sum(val_b * xf[idx_b], axis=1)
+    if sym:
+        return fwd
     contrib = jnp.zeros((n_global,), xb.dtype).at[idx_b.reshape(-1)].add(
         (val_b * xb[:, None]).reshape(-1)
     )
@@ -153,11 +159,14 @@ def sharded_fastsum_matvec(mesh: Mesh, plan, axis_name: str = POINTS_AXIS):
 
     def mv(x):
         if has_nf:
+            nf_sym = plan.nf_sym
+
             def local(Tb, xb, w, idx_b, val_b):
                 A = jax.lax.psum(_folded_adjoint(Tb, xb), axis_name)
                 y = _folded_forward(Tb, _folded_combine(w, A, d))
                 xf = jax.lax.all_gather(xb, axis_name, tiled=True)
-                return y + _nearfield_local(idx_b, val_b, xb, xf, axis_name)
+                return y + _nearfield_local(idx_b, val_b, xb, xf, axis_name,
+                                            sym=nf_sym)
 
             y = shard_map(
                 local, mesh=mesh,
@@ -404,6 +413,7 @@ def sharded_stream_ops(mesh: Mesh, plan, *, table_dtype=None, block: int = 2048,
         nsets = len(weight_sel)
         accs = [jnp.stack(ys[s::nsets]) for s in range(nsets)]  # (nv, n_local)
         xf = None
+        nf_sym = plan_l.groups[0][2].nf_sym
         for s, (_sel, nfsel) in enumerate(weight_sel):
             for trip in list(nf2) + list(nf1):
                 if trip is not None:
@@ -414,7 +424,8 @@ def sharded_stream_ops(mesh: Mesh, plan, *, table_dtype=None, block: int = 2048,
                             lambda xb: jax.lax.all_gather(xb, axis_name, tiled=True)
                         )(Vb)
                     accs[s] = accs[s] + jax.vmap(
-                        lambda xb, xfb: _nearfield_local(idx_b, v, xb, xfb, axis_name)
+                        lambda xb, xfb: _nearfield_local(idx_b, v, xb, xfb,
+                                                         axis_name, sym=nf_sym)
                     )(Vb, xf)
         return accs
 

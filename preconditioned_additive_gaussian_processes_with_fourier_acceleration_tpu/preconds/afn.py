@@ -177,6 +177,10 @@ class AfnPlan(NamedTuple):
     k: int                  # landmark count
     use_ran: bool           # True -> plain Nyström fallback
     pattern: tuple          # (idx, mask) KNN pattern on the Schur points
+    # (t_rows, t_slot, t_mask) transpose of the pattern — gather-only G'
+    # products in the apply (ops/matops.ell_transpose_pattern); None = use
+    # the scatter-add fallback
+    pattern_t: Optional[tuple] = None
 
 
 def afn_plan(
@@ -229,12 +233,17 @@ def afn_plan(
         )
     if use_ran:
         pattern = (np.zeros((0, lfil), np.int32), np.zeros((0, lfil), bool))
+        pattern_t = None
     else:
+        from ..ops.matops import ell_transpose_pattern
+
         idx, mask = jax.jit(
             lambda Xv, pv: knn_pattern(Xv[pv[k:]], lfil)
         )(X, jnp.asarray(perm))
         pattern = (np.asarray(idx), np.asarray(mask))
-    return AfnPlan(perm=perm, k=k, use_ran=use_ran, pattern=pattern)
+        pattern_t = ell_transpose_pattern(*pattern)
+    return AfnPlan(perm=perm, k=k, use_ran=use_ran, pattern=pattern,
+                   pattern_t=pattern_t)
 
 
 def afn_setup_from_plan(
@@ -318,7 +327,13 @@ def _afn_setup_impl(kind, params, X, plan, require_grad, windows):
         blocks = jax.vmap(lambda J: block_fn(J)[0])(idx)
         dblocks = None
     val, dval, breakdown = fsai_rows_from_blocks(blocks, dblocks, mask)
-    gs = FsaiPrecond(idx=idx, mask=mask, val=val, dval=dval, breakdown=breakdown)
+    tkw = {}
+    if getattr(plan, "pattern_t", None) is not None:
+        tr, ts, tm = plan.pattern_t
+        tkw = dict(t_rows=jnp.asarray(tr), t_slot=jnp.asarray(ts),
+                   t_mask=jnp.asarray(tm))
+    gs = FsaiPrecond(idx=idx, mask=mask, val=val, dval=dval,
+                     breakdown=breakdown, **tkw)
 
     return AfnPrecond(
         perm=perm, L11=L11, K12=K12, GK12=GK12, gs=gs, dL11=dL11, dK12=dK12

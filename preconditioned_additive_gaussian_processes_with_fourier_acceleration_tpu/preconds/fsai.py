@@ -32,7 +32,13 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.pytree import pytree_dataclass
-from ..ops.matops import ell_matvec, ell_rmatvec, ell_tril_solve, ell_triu_solve
+from ..ops.matops import (
+    ell_matvec,
+    ell_rmatvec,
+    ell_rmatvec_t,
+    ell_tril_solve,
+    ell_triu_solve,
+)
 from ..ops.knn import knn_pattern
 from ..ops.kernels import (
     KernelParams,
@@ -54,15 +60,29 @@ class FsaiPrecond:
     # FSAI-breakdown detection (afn_setup.m:93-98); host callers may use it
     # to fall back to RAN wholesale.
     breakdown: Optional[jnp.ndarray] = None
+    # optional precomputed TRANSPOSE pattern (ops/matops.ell_transpose_pattern):
+    # makes every G' product a gather-only contraction instead of a
+    # scatter-add (which serializes on the tunneled TPU backend — the
+    # dominant AFN/FSAI apply cost, ~15 ms at (1e5, 16)).  Params-independent;
+    # attach once per dataset (afn_plan / fsai_setup pattern_t).
+    t_rows: Optional[jnp.ndarray] = None
+    t_slot: Optional[jnp.ndarray] = None
+    t_mask: Optional[jnp.ndarray] = None
+
+    def _rmat(self, vals, x):
+        """G(vals)' x — gather-only when the transpose pattern is present."""
+        if self.t_rows is not None:
+            return ell_rmatvec_t(self.t_rows, self.t_slot, self.t_mask, vals, x)
+        return ell_rmatvec(self.idx, vals, x)
 
     def solve(self, r):
-        return ell_rmatvec(self.idx, self.val, ell_matvec(self.idx, self.val, r))
+        return self._rmat(self.val, ell_matvec(self.idx, self.val, r))
 
     def apply_G(self, r):
         return ell_matvec(self.idx, self.val, r)
 
     def apply_Gt(self, r):
-        return ell_rmatvec(self.idx, self.val, r)
+        return self._rmat(self.val, r)
 
     def logdet(self):
         return -2.0 * jnp.sum(jnp.log(self.val[:, -1]))
@@ -85,9 +105,9 @@ class FsaiPrecond:
         m = self.solve_G(u)                      # M z = G^{-1} G^{-T} z
 
         def one(dv):
-            s = self.solve_Gt(ell_rmatvec(self.idx, dv, u))  # G^{-T} dG' G^{-T} z
+            s = self.solve_Gt(self._rmat(dv, u))             # G^{-T} dG' G^{-T} z
             t = s + ell_matvec(self.idx, dv, m)              # + dG M z
-            return ell_rmatvec(self.idx, self.val, t)        # G' (...)
+            return self._rmat(self.val, t)                   # G' (...)
 
         return jax.vmap(one)(self.dval)
 
@@ -100,8 +120,8 @@ class FsaiPrecond:
         gz = ell_matvec(self.idx, self.val, z)
 
         def one(dv):
-            a = ell_rmatvec(self.idx, self.val, ell_matvec(self.idx, dv, z))
-            b = ell_rmatvec(self.idx, dv, gz)
+            a = self._rmat(self.val, ell_matvec(self.idx, dv, z))
+            b = self._rmat(dv, gz)
             return a + b
 
         return jax.vmap(one)(self.dval)

@@ -150,10 +150,37 @@ def fgmres(
         R = R + jnp.diag(jnp.where(active_col, 0.0, 1.0))
         ge = jnp.where(active_col, g[:kdim], 0.0)
         y = jax.scipy.linalg.solve_triangular(R, ge, lower=False)
-        x = x + jnp.matmul(Z.T, y, precision="highest")
+        if compensated:
+            # the update sum_j y_j Z_j cancels catastrophically when the
+            # preconditioned basis is 1/eta-amplified (Nystrom/AFN solves
+            # scale by 1/(mu f^2)): terms O(1/eta) sum to x = O(1).  A
+            # TwoSum scan over the kdim axis caps the cancellation error at
+            # ~eps * max|y_j Z_j| instead of ~eps * sqrt(k) * max (measured
+            # true-residual floor 3e-3 -> deeper at n=1e5, mu=0.01).
+            from .reductions import _two_sum
+
+            def upd(carry, yz):
+                hi, lo = carry
+                hi, e = _two_sum(hi, yz)
+                return (hi, lo + e), None
+
+            z0 = jnp.zeros_like(x)
+            (hi, lo), _ = lax.scan(upd, (x, z0), y[:, None] * Z)
+            x = hi + lo
+        else:
+            x = x + jnp.matmul(Z.T, y, precision="highest")
 
         total_it = total_it + j
-        stop = jnp.logical_or(res <= tolb, total_it >= maxits)
+        # stop on the TRUE residual, not the Givens estimate: in f32 the
+        # inner estimate drifts optimistic below ~1e-3 (measured: estimate
+        # 1e-4 vs true 1.8e-3 at n=1e5), so gating the restart loop on it
+        # both stops too early and loses the self-correcting restart
+        # (each cycle restarts from the true residual — the f32 analog of
+        # the reference's convergence behavior in f64, fgmres.c:197-240).
+        # One extra matvec per restart cycle.
+        rt = b - matvec(x)
+        res_true = norm_fn(rt)
+        stop = jnp.logical_or(res_true <= tolb, total_it >= maxits)
         return (x, total_it, hist, stop)
 
     def outer_cond(carry):
@@ -161,12 +188,10 @@ def fgmres(
         return jnp.logical_not(stop)
 
     carry = (x0, jnp.asarray(0, jnp.int32), hist0, jnp.asarray(False))
-    # bounded number of restart cycles
-    def outer_body(i, carry):
-        x, total_it, hist, stop = carry
-        return lax.cond(stop, lambda c: c, cycle, (x, total_it, hist, stop))
-
-    x, total_it, hist, stop = lax.fori_loop(0, n_cycles, outer_body, carry)
+    # restart cycles until true-residual convergence or the iteration
+    # budget; a while_loop (not a cycle-count fori) because early inner
+    # exits make the per-cycle iteration count data-dependent
+    x, total_it, hist, stop = lax.while_loop(outer_cond, cycle, carry)
 
     r = b - matvec(x)
     relres = norm_fn(r) / safe_normb

@@ -37,10 +37,20 @@ def pcg(
     atol: bool = False,
     maxits: int = 100,
     compensated: bool = False,
+    replace_every: int = 0,
 ) -> PcgResult:
     """compensated=True: TwoSum float-float dot/norm accumulation — restores
     the reference's f64 reduction semantics on f32 TPUs (see reductions.py);
-    needed for deep tolerances at N ~ 1e6."""
+    needed for deep tolerances at N ~ 1e6.
+
+    replace_every=m > 0: RESIDUAL REPLACEMENT — every m iterations the
+    recursion residual is replaced by the true residual b - A x (van der
+    Vorst/Ye strategy).  In f32 the recursion residual drifts from the true
+    one at ~sqrt(n)*eps*||A||*||x|| per step; replacement restores the
+    attainable accuracy to the operator's own noise floor for one extra
+    matvec per m iterations.  The reference (f64 CPU) needs only the final
+    true-residual re-check (pcg.c:181-193); on f32 TPUs this is the
+    periodic form of the same guard."""
     n = b.shape[0]
     dtype = b.dtype
     x0 = jnp.zeros_like(b) if x0 is None else x0
@@ -87,7 +97,10 @@ def pcg(
             hist = hist.at[it].set(normrt / safe_normb)
             return x, rt, normrt, hist
 
-        tentative = normr <= tolb
+        periodic = jnp.logical_and(
+            replace_every > 0, jnp.equal(jnp.mod(it, max(replace_every, 1)), 0)
+        )
+        tentative = jnp.logical_or(normr <= tolb, periodic)
         x, r, normr, hist = lax.cond(
             tentative, recheck, lambda a: a, (x, r, normr, hist)
         )

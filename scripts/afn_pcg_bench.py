@@ -48,6 +48,15 @@ def main():
     ap.add_argument("--x64", action="store_true",
                     help="f64 arrays (reference precision; pair with cpu)")
     ap.add_argument("--fgmres-kdim", type=int, default=100)
+    ap.add_argument("--comp", action="store_true",
+                    help="compensated solver reductions (TwoSum dots/norms "
+                    "+ FGMRES compensated x-update)")
+    ap.add_argument("--comp-op", action="store_true",
+                    help="ALSO use the chunked-compensated NDFT adjoint "
+                    "(measured unnecessary: the plain f32 matvec is already "
+                    "~2e-6 accurate at n=1e5, .r4_op_acc.log; costs 2.7x)")
+    ap.add_argument("--replace-every", type=int, default=0,
+                    help="PCG residual replacement period (f32 deep-tol)")
     ap.add_argument("--precs", default="none,nystrom,afn")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
@@ -101,6 +110,7 @@ def main():
         "n": n, "d": d, "kernel": args.kernel, "operator": args.operator,
         "rank": args.rank, "lfil": args.lfil, "l": args.l, "mu": args.mu,
         "tol": args.tol, "maxits": args.maxits,
+        "compensated": args.comp, "replace_every": args.replace_every,
         "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
         "platform": jax.default_backend(), "runs": {},
     }
@@ -114,7 +124,8 @@ def main():
         plan = jax.jit(
             lambda g, p: fs.additive_fastsum_coeffs(args.kernel, p, g, psd_clip=True)
         )(geom, params)
-        mv = jax.jit(lambda pl_, v: fs.additive_fastsum_matvec(pl_, v))
+        mv = jax.jit(lambda pl_, v: fs.additive_fastsum_matvec(
+            pl_, v, compensated=args.comp_op))
         operand = plan
     else:
         K = jax.jit(
@@ -155,21 +166,39 @@ def main():
               flush=True)
 
     def run_both(name, pre, setup_s):
-        psolve = pre.solve if pre is not None else None
-        pcg_run = jax.jit(lambda op, bb: pcg(
-            lambda v: mv(op, v), bb, precond=psolve,
-            tol=args.tol, maxits=args.maxits))
-        res = jax.block_until_ready(pcg_run(operand, b))
+        # the preconditioner is an explicit jit ARGUMENT: closure-captured
+        # device arrays inline as MLIR constants on the tunneled backend
+        if pre is None:
+            pcg_run = jax.jit(lambda op, bb: pcg(
+                lambda v: mv(op, v), bb,
+                tol=args.tol, maxits=args.maxits, compensated=args.comp,
+                replace_every=args.replace_every))
+            fg_run = jax.jit(lambda op, bb: fgmres(
+                lambda v: mv(op, v), bb,
+                kdim=args.fgmres_kdim, maxits=args.maxits, tol=args.tol,
+                compensated=args.comp))
+            run_p = lambda: pcg_run(operand, b)
+            run_f = lambda: fg_run(operand, b)
+        else:
+            pcg_run = jax.jit(lambda op, bb, pr: pcg(
+                lambda v: mv(op, v), bb, precond=pr.solve,
+                tol=args.tol, maxits=args.maxits, compensated=args.comp,
+                replace_every=args.replace_every))
+            fg_run = jax.jit(lambda op, bb, pr: fgmres(
+                lambda v: mv(op, v), bb, precond=pr.solve,
+                kdim=args.fgmres_kdim, maxits=args.maxits, tol=args.tol,
+                compensated=args.comp))
+            run_p = lambda: pcg_run(operand, b, pre)
+            run_f = lambda: fg_run(operand, b, pre)
+
+        res = jax.block_until_ready(run_p())
         t0 = time.time()
-        res = jax.block_until_ready(pcg_run(operand, b))
+        res = jax.block_until_ready(run_p())
         report(name, "pcg", res, time.time() - t0, setup_s)
 
-        fg_run = jax.jit(lambda op, bb: fgmres(
-            lambda v: mv(op, v), bb, precond=psolve,
-            kdim=args.fgmres_kdim, maxits=args.maxits, tol=args.tol))
-        resf = jax.block_until_ready(fg_run(operand, b))
+        resf = jax.block_until_ready(run_f())
         t0 = time.time()
-        resf = jax.block_until_ready(fg_run(operand, b))
+        resf = jax.block_until_ready(run_f())
         report(name, "fgmres", resf, time.time() - t0, setup_s)
 
     precs = args.precs.split(",")
@@ -193,12 +222,26 @@ def main():
         idx, mask = jax.jit(
             lambda Xv: knn_pattern(Xv, args.lfil)
         )(X[perm_a[args.rank:]])
-        aplan = AfnPlan(perm=perm_a, k=args.rank, use_ran=False,
-                        pattern=(np.asarray(idx), np.asarray(mask)))
-        afn = jax.jit(
-            lambda Xv, pp: afn_setup_from_plan(args.kernel, pp, Xv, aplan,
-                                               windows=windows)
-        )(X, params)
+        from preconditioned_additive_gaussian_processes_with_fourier_acceleration_tpu.ops.matops import (
+            ell_transpose_pattern,
+        )
+
+        pattern = (np.asarray(idx), np.asarray(mask))
+        tr_, ts_, tm_ = ell_transpose_pattern(*pattern)
+
+        # plan arrays as jit ARGUMENTS (closure-captured arrays inline as
+        # MLIR constants; at n=1e5 the upload exceeds the tunnel's request
+        # size limit — HTTP 413)
+        def _setup(Xv, pp, permv, idxv, maskv, trv, tsv, tmv):
+            pl = AfnPlan(perm=permv, k=args.rank, use_ran=False,
+                         pattern=(idxv, maskv), pattern_t=(trv, tsv, tmv))
+            return afn_setup_from_plan(args.kernel, pp, Xv, pl, windows=windows)
+
+        afn = jax.jit(_setup)(
+            X, params, jnp.asarray(perm_a), jnp.asarray(pattern[0]),
+            jnp.asarray(pattern[1]), jnp.asarray(tr_), jnp.asarray(ts_),
+            jnp.asarray(tm_),
+        )
         jax.block_until_ready(afn.L11)
         run_both("afn", afn, time.time() - t0)
 

@@ -131,13 +131,35 @@ def main():
           f"golden_start={args.golden_start}")
     print(f"loss[0] ours {losses[0]:.6f}  exact-NLL {L0:.6f}  |d|={d_loss0:.2e}")
 
-    # 1b. golden loss-TRACE parity (the goldens' true start, see docstring)
+    # 1b. golden loss-TRACE parity.
+    # dense (--golden-start): vs foo_0_loss_exact.txt from raw (1,1,1) — the
+    #   start those goldens were actually generated with (see docstring);
+    #   bound 2e-3 (SLQ probe noise).
+    # fastsum (default start): vs foo_0_loss_nfft.txt — an 11-entry trace
+    #   from the DOCUMENTED (0,0,0) start (unlike the exact golden!); its
+    #   first entry 0.53625 sits 3.6e-3 below the exact NLL 0.53985, i.e.
+    #   the reference's own NFFT operator error.  Our folded-NDFT trace must
+    #   match within the sum of the two operators' approximation errors
+    #   (~1e-2) — locking in that the Fourier-accelerated training path
+    #   follows the reference's NFFT run, not just the exact-dense one.
     trace_ok = True
-    if args.golden_start and args.operator == "dense":
+    if which == "exact" and args.golden_start:
         m = min(len(losses), len(g_losses))
         dtrace = float(np.max(np.abs(losses[:m] - g_losses[:m])))
-        print(f"golden trace parity over {m} iters: max|diff| = {dtrace:.2e}")
-        trace_ok = dtrace < 2e-3  # SLQ probe noise accumulates along the run
+        print(f"golden trace parity over {m} iters (exact): "
+              f"max|diff| = {dtrace:.2e}")
+        trace_ok = dtrace < 2e-3
+    elif which == "nfft" and not args.golden_start:
+        # the committed nfft trace holds 10 iterations + a trailing 0.0
+        # file artifact — strip the zero tail before comparing
+        gl = g_losses[: int(np.max(np.nonzero(g_losses)[0])) + 1]
+        m = min(len(losses), len(gl))
+        dtrace = float(np.max(np.abs(losses[:m] - gl[:m])))
+        print(f"golden trace parity over {m} iters (nfft, (0,0,0) start): "
+              f"max|diff| = {dtrace:.2e}")
+        print("  ours :", np.array2string(losses[:m], precision=4))
+        print("  golden:", np.array2string(gl[:m], precision=4))
+        trace_ok = dtrace < 1e-2
 
     # 2./3. prediction parity
     ystd = float(np.std(g_labels))
