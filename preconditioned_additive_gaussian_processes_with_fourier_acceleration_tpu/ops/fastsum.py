@@ -323,6 +323,17 @@ def nearfield_apply(sym: bool, idx, val, x):
     return nearfield_matvec(idx, val, x)
 
 
+def nearfield_apply_batch(sym: bool, idx, val, Xb):
+    """(nv, n) batched near-field products: the symmetric form shares ONE
+    row-gather across all RHS (ops/matops.ell_matvec_batch) — the same
+    multi-RHS economics as the packed-NDFT table stream."""
+    from .matops import ell_matvec_batch
+
+    if sym:
+        return ell_matvec_batch(idx, val, Xb)
+    return jax.vmap(lambda v: nearfield_matvec(idx, val, v))(Xb)
+
+
 def symmetrize_pattern(idx, mask):
     """HOST-side symmetrization of a lower-tri KNN pattern (self at slot -1).
 
@@ -1267,8 +1278,7 @@ def packed_ndft_matvec_batch(pn: PackedNDFT, Xb, *, prec: str = "highest",
         for trip in list(pn.nf2) + list(pn.nf1):
             if trip is not None:
                 idx, val, _ = trip
-                acc = acc + jax.vmap(
-                    lambda v: nearfield_apply(pn.nf_sym, idx, val, v))(Xb)
+                acc = acc + nearfield_apply_batch(pn.nf_sym, idx, val, Xb)
 
     for dw, order, plans in pn.rest:
         # vmap over the probe axis (not a Python unroll): traced program
@@ -1278,8 +1288,7 @@ def packed_ndft_matvec_batch(pn: PackedNDFT, Xb, *, prec: str = "highest",
                 lambda v: _folded_apply_multi(pl_.geom.Tcs, [pl_.w], v)[0]
             )(Xb)
             + (
-                jax.vmap(lambda v: nearfield_apply(
-                    pl_.nf_sym, pl_.nf_idx, pl_.nf_val, v))(Xb)
+                nearfield_apply_batch(pl_.nf_sym, pl_.nf_idx, pl_.nf_val, Xb)
                 if pl_.nf_val is not None
                 else 0.0
             )
@@ -1333,10 +1342,8 @@ def packed_ndft_grad_matvec_batch(pn: PackedNDFT, Xb, *, prec: str = "highest",
         for trip in list(pn.nf2) + list(pn.nf1):
             if trip is not None:
                 idx, val, dval = trip
-                k_acc = k_acc + jax.vmap(
-                    lambda v: nearfield_apply(pn.nf_sym, idx, val, v))(Xb)
-                l_acc = l_acc + jax.vmap(
-                    lambda v: nearfield_apply(pn.nf_sym, idx, dval, v))(Xb)
+                k_acc = k_acc + nearfield_apply_batch(pn.nf_sym, idx, val, Xb)
+                l_acc = l_acc + nearfield_apply_batch(pn.nf_sym, idx, dval, Xb)
 
     for dw, order, plans in pn.rest:
         # vmap over probes (outer) and windows (inner): traced program size

@@ -93,6 +93,12 @@ class AfnPrecond:
         return chol_solve(self.L11, b)
 
     def solve(self, r):
+        """M^{-1} r; vmapped callers (SLQ probes) dispatch to solve_batch —
+        one permutation row-gather/scatter + batched ELL products for ALL
+        probes instead of per-probe irregular memory ops."""
+        return _afn_solve(self, r)
+
+    def _solve_impl(self, r):
         hm = lambda a, b: jnp.matmul(a, b, precision="highest")
         x = r[self.perm]
         k = self.k
@@ -102,6 +108,19 @@ class AfnPrecond:
         yu = self._chol_solve(xu - hm(self.K12, yl))
         y = jnp.concatenate([yu, yl])
         return jnp.zeros_like(y).at[self.perm].set(y)
+
+    def solve_batch(self, Rb):
+        """(nv, n) batched solves sharing the irregular ops."""
+        hm = lambda a, b: jnp.matmul(a, b, precision="highest")
+        k = self.k
+        X2 = Rb.T[self.perm]                       # ONE row-gather (n, nv)
+        xu, xl = X2[:k], X2[k:]
+        zl = xl - hm(self.K12.T, self._chol_solve(xu))
+        yl = self.gs.solve_batch(zl.T).T           # batched ELL products
+        yu = self._chol_solve(xu - hm(self.K12, yl))
+        y = jnp.concatenate([yu, yl])              # (n, nv)
+        out = jnp.zeros_like(y).at[self.perm].set(y)   # ONE row-scatter
+        return out.T
 
     def logdet(self):
         return 2.0 * (
@@ -170,6 +189,19 @@ class AfnPrecond:
         return jax.vmap(lambda y: jnp.zeros_like(y).at[self.perm].set(y))(px)
 
 
+from jax import custom_batching
+
+
+@custom_batching.custom_vmap
+def _afn_solve(pre, r):
+    return pre._solve_impl(r)
+
+
+@_afn_solve.def_vmap
+def _afn_solve_vmap(axis_size, in_batched, pre, Rb):
+    return pre.solve_batch(Rb), True
+
+
 class AfnPlan(NamedTuple):
     """Static structure decided once per dataset (host side)."""
 
@@ -235,13 +267,15 @@ def afn_plan(
         pattern = (np.zeros((0, lfil), np.int32), np.zeros((0, lfil), bool))
         pattern_t = None
     else:
-        from ..ops.matops import ell_transpose_pattern
-
         idx, mask = jax.jit(
             lambda Xv, pv: knn_pattern(Xv[pv[k:]], lfil)
         )(X, jnp.asarray(perm))
         pattern = (np.asarray(idx), np.asarray(mask))
-        pattern_t = ell_transpose_pattern(*pattern)
+        # transpose pattern stays OPT-IN: measured on-chip, the gathered
+        # transpose product (lfil_t ~ 3*lfil slots) costs 34 ms vs the
+        # scatter-add's 12.5 ms at (1e5, 16) — gather cost scales with
+        # gathered elements, and the in-degree padding loses
+        pattern_t = None
     return AfnPlan(perm=perm, k=k, use_ran=use_ran, pattern=pattern,
                    pattern_t=pattern_t)
 
@@ -321,10 +355,35 @@ def _afn_setup_impl(kind, params, X, plan, require_grad, windows):
         B22 = mat(params, XJ)
         return B22 - gk.T @ gk, None
 
+    # chunk the row-block evaluation: a flat vmap gathers GK12[:, J] for all
+    # rows at once — a (n2, k, lfil) transient (~13 GB at n=1e6, k=200,
+    # lfil=16) that OOMs; lax.map over row chunks bounds it at
+    # (chunk, k, lfil) while keeping every chunk a full batched GEMM/cholesky
+    n2 = idx.shape[0]
+    chunk = 32768
     if require_grad:
-        blocks, dblocks = jax.vmap(block_fn)(idx)
+        if n2 <= chunk:
+            blocks, dblocks = jax.vmap(block_fn)(idx)
+        else:
+            nc = -(-n2 // chunk)
+            idx_p = jnp.zeros((nc * chunk, idx.shape[1]), idx.dtype).at[:n2].set(idx)
+            blocks, dblocks = jax.lax.map(
+                lambda Jc: jax.vmap(block_fn)(Jc),
+                idx_p.reshape(nc, chunk, idx.shape[1]),
+            )
+            blocks = blocks.reshape(nc * chunk, *blocks.shape[2:])[:n2]
+            dblocks = dblocks.reshape(nc * chunk, *dblocks.shape[2:])[:n2]
     else:
-        blocks = jax.vmap(lambda J: block_fn(J)[0])(idx)
+        if n2 <= chunk:
+            blocks = jax.vmap(lambda J: block_fn(J)[0])(idx)
+        else:
+            nc = -(-n2 // chunk)
+            idx_p = jnp.zeros((nc * chunk, idx.shape[1]), idx.dtype).at[:n2].set(idx)
+            blocks = jax.lax.map(
+                lambda Jc: jax.vmap(lambda J: block_fn(J)[0])(Jc),
+                idx_p.reshape(nc, chunk, idx.shape[1]),
+            )
+            blocks = blocks.reshape(nc * chunk, *blocks.shape[2:])[:n2]
         dblocks = None
     val, dval, breakdown = fsai_rows_from_blocks(blocks, dblocks, mask)
     tkw = {}

@@ -34,7 +34,9 @@ import jax.numpy as jnp
 from ..utils.pytree import pytree_dataclass
 from ..ops.matops import (
     ell_matvec,
+    ell_matvec_batch,
     ell_rmatvec,
+    ell_rmatvec_batch,
     ell_rmatvec_t,
     ell_tril_solve,
     ell_triu_solve,
@@ -76,7 +78,15 @@ class FsaiPrecond:
         return ell_rmatvec(self.idx, vals, x)
 
     def solve(self, r):
-        return self._rmat(self.val, ell_matvec(self.idx, self.val, r))
+        """M^{-1} r = G'(G r); vmapped callers dispatch to the batched ELL
+        products (one row-gather/scatter for all probes — SLQ's shape)."""
+        return _fsai_solve(self.idx, self.val, self.t_rows, self.t_slot,
+                           self.t_mask, r)
+
+    def solve_batch(self, Rb):
+        return ell_rmatvec_batch(
+            self.idx, self.val, ell_matvec_batch(self.idx, self.val, Rb)
+        )
 
     def apply_G(self, r):
         return ell_matvec(self.idx, self.val, r)
@@ -125,6 +135,27 @@ class FsaiPrecond:
             return a + b
 
         return jax.vmap(one)(self.dval)
+
+
+from jax import custom_batching
+
+
+@custom_batching.custom_vmap
+def _fsai_solve(idx, val, t_rows, t_slot, t_mask, r):
+    if t_rows is not None:
+        return ell_rmatvec_t(t_rows, t_slot, t_mask, val,
+                             ell_matvec(idx, val, r))
+    return ell_rmatvec(idx, val, ell_matvec(idx, val, r))
+
+
+@_fsai_solve.def_vmap
+def _fsai_solve_vmap(axis_size, in_batched, idx, val, t_rows, t_slot, t_mask, Rb):
+    # only the RHS axis batches in the solver paths; a batched pattern/values
+    # (unused today) falls back to a sequential map
+    if any(in_batched[:5]):
+        raise NotImplementedError("batched FSAI pattern under vmap")
+    out = ell_rmatvec_batch(idx, val, ell_matvec_batch(idx, val, Rb))
+    return out, True
 
 
 def _identity_splice(B, mask):

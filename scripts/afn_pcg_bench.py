@@ -57,6 +57,13 @@ def main():
                     "~2e-6 accurate at n=1e5, .r4_op_acc.log; costs 2.7x)")
     ap.add_argument("--replace-every", type=int, default=0,
                     help="PCG residual replacement period (f32 deep-tol)")
+    ap.add_argument("--mixed", action="store_true",
+                    help="MIXED precision on chip: f32 operator/preconditioner"
+                    " matmuls, f64 Krylov vectors (x/r/p and dots).  The f32"
+                    " solution-vector representation alone floors the true"
+                    " relres at ~cond*eps_f32 (~1e-3 at mu=0.01, n=1e5);"
+                    " f64 vectors remove that wall while every matmul stays"
+                    " on the MXU.")
     ap.add_argument("--precs", default="none,nystrom,afn")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
@@ -65,7 +72,7 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    if args.x64:
+    if args.x64 or args.mixed:
         jax.config.update("jax_enable_x64", True)
     try:
         cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
@@ -110,7 +117,7 @@ def main():
         "n": n, "d": d, "kernel": args.kernel, "operator": args.operator,
         "rank": args.rank, "lfil": args.lfil, "l": args.l, "mu": args.mu,
         "tol": args.tol, "maxits": args.maxits,
-        "compensated": args.comp, "replace_every": args.replace_every,
+        "compensated": args.comp, "replace_every": args.replace_every, "mixed": args.mixed,
         "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
         "platform": jax.default_backend(), "runs": {},
     }
@@ -165,31 +172,51 @@ def main():
               f"| solve {t_solve:.2f}s | setup {setup_s:.1f}s | {cross_str}",
               flush=True)
 
+    if args.mixed:
+        f64 = jnp.float64
+        b_solver = b.astype(f64)
+
+        def wrap_mv(op):
+            return lambda v: mv(op, v.astype(dtype)).astype(f64)
+
+        def wrap_ps(pre):
+            # the preconditioner can stay f32: FGMRES/PCG only need M^{-1}
+            # approximately; accuracy of the OUTER recursion is what counts
+            return lambda r: pre.solve(r.astype(dtype)).astype(f64)
+    else:
+        b_solver = b
+        wrap_mv = lambda op: (lambda v: mv(op, v))
+        wrap_ps = lambda pre: pre.solve
+
     def run_both(name, pre, setup_s):
         # the preconditioner is an explicit jit ARGUMENT: closure-captured
         # device arrays inline as MLIR constants on the tunneled backend
         if pre is None:
+            # PCG runs uncompensated: measured no benefit (the recursion
+            # drift, not reduction noise, is its f32 floor), and the TwoSum
+            # scan + AFN-solve scatter combination triggers a backend
+            # kernel fault (r4 .r4_afn1e5i.log)
             pcg_run = jax.jit(lambda op, bb: pcg(
-                lambda v: mv(op, v), bb,
-                tol=args.tol, maxits=args.maxits, compensated=args.comp,
+                wrap_mv(op), bb,
+                tol=args.tol, maxits=args.maxits,
                 replace_every=args.replace_every))
             fg_run = jax.jit(lambda op, bb: fgmres(
-                lambda v: mv(op, v), bb,
+                wrap_mv(op), bb,
                 kdim=args.fgmres_kdim, maxits=args.maxits, tol=args.tol,
                 compensated=args.comp))
-            run_p = lambda: pcg_run(operand, b)
-            run_f = lambda: fg_run(operand, b)
+            run_p = lambda: pcg_run(operand, b_solver)
+            run_f = lambda: fg_run(operand, b_solver)
         else:
             pcg_run = jax.jit(lambda op, bb, pr: pcg(
-                lambda v: mv(op, v), bb, precond=pr.solve,
-                tol=args.tol, maxits=args.maxits, compensated=args.comp,
+                wrap_mv(op), bb, precond=wrap_ps(pr),
+                tol=args.tol, maxits=args.maxits,
                 replace_every=args.replace_every))
             fg_run = jax.jit(lambda op, bb, pr: fgmres(
-                lambda v: mv(op, v), bb, precond=pr.solve,
+                wrap_mv(op), bb, precond=wrap_ps(pr),
                 kdim=args.fgmres_kdim, maxits=args.maxits, tol=args.tol,
                 compensated=args.comp))
-            run_p = lambda: pcg_run(operand, b, pre)
-            run_f = lambda: fg_run(operand, b, pre)
+            run_p = lambda: pcg_run(operand, b_solver, pre)
+            run_f = lambda: fg_run(operand, b_solver, pre)
 
         res = jax.block_until_ready(run_p())
         t0 = time.time()
@@ -201,6 +228,19 @@ def main():
         resf = jax.block_until_ready(run_f())
         report(name, "fgmres", resf, time.time() - t0, setup_s)
 
+    def x32_trace(fn):
+        """Trace/compile fn with x64 OFF (mixed mode): the f32 setup graphs
+        are the known-good compiles; tracing them under the x64 flag emits
+        int64/f64 variants that crash the tunnel's XLA (TransposeFolding
+        null-buffer check, .r4_afn1e5g.log)."""
+        if not args.mixed:
+            return fn()
+        jax.config.update("jax_enable_x64", False)
+        try:
+            return fn()
+        finally:
+            jax.config.update("jax_enable_x64", True)
+
     precs = args.precs.split(",")
     if "none" in precs:
         run_both("none", None, 0.0)
@@ -208,20 +248,25 @@ def main():
     if "nystrom" in precs:
         t0 = time.time()
         perm = rand_perm(jax.random.PRNGKey(7), n, args.rank)
-        nys = jax.jit(
+        nys = x32_trace(lambda: jax.jit(
             lambda Xv, pp: nystrom_setup(args.kernel, pp, Xv, perm, args.rank,
                                          windows=windows)
-        )(X, params)
+        )(X, params))
         jax.block_until_ready(nys.U)
         run_both("nystrom", nys, time.time() - t0)
 
     if "afn" in precs:
         t0 = time.time()
-        perm_k = fps(X, args.rank).perm
-        perm_a = np.asarray(jax.jit(lambda p: expand_perm(p, n))(perm_k))
-        idx, mask = jax.jit(
-            lambda Xv: knn_pattern(Xv, args.lfil)
-        )(X[perm_a[args.rank:]])
+
+        def _afn_prep():
+            perm_k = fps(X, args.rank).perm
+            perm_a = np.asarray(jax.jit(lambda p: expand_perm(p, n))(perm_k))
+            idx, mask = jax.jit(
+                lambda Xv: knn_pattern(Xv, args.lfil)
+            )(X[perm_a[args.rank:]])
+            return perm_a, idx, mask
+
+        perm_a, idx, mask = x32_trace(_afn_prep)
         from preconditioned_additive_gaussian_processes_with_fourier_acceleration_tpu.ops.matops import (
             ell_transpose_pattern,
         )
@@ -237,11 +282,11 @@ def main():
                          pattern=(idxv, maskv), pattern_t=(trv, tsv, tmv))
             return afn_setup_from_plan(args.kernel, pp, Xv, pl, windows=windows)
 
-        afn = jax.jit(_setup)(
+        afn = x32_trace(lambda: jax.jit(_setup)(
             X, params, jnp.asarray(perm_a), jnp.asarray(pattern[0]),
             jnp.asarray(pattern[1]), jnp.asarray(tr_), jnp.asarray(ts_),
             jnp.asarray(tm_),
-        )
+        ))
         jax.block_until_ready(afn.L11)
         run_both("afn", afn, time.time() - t0)
 
