@@ -17,9 +17,11 @@ shipped fastsum error for non-smooth kernels (4e-2) and below the SLQ
 estimator noise in the loss.
 
 The reference publishes no numbers (README.md:4 "not optimized for
-performance"); vs_baseline is reported against a nominal 1e6 pts/s —
-a generous estimate of the reference's threaded CPU NFFT matvec rate on this
-problem size (n log n with large constants; README's research-only framing).
+performance"), so there is NO measured baseline to normalize against:
+vs_baseline = measured / 1e6 pts/s, where 1e6 is a NOMINAL (order-of-
+magnitude, favorable-to-the-reference) estimate of its threaded CPU NFFT
+matvec rate at this problem size — read it as "x vs a nominal 1 Mpts/s
+CPU reference", not as a ratio of two measurements.
 
 Prints exactly one JSON line.
 """

@@ -131,16 +131,19 @@ def main():
         plan = jax.jit(
             lambda g, p: fs.additive_fastsum_coeffs(args.kernel, p, g, psd_clip=True)
         )(geom, params)
-        mv = jax.jit(lambda pl_, v: fs.additive_fastsum_matvec(
-            pl_, v, compensated=args.comp_op))
+        # NOT jitted: the solvers close over mv inside their own jit, and
+        # the nested jit-in-jit form faults the tunneled backend on the AFN
+        # runs (isolated: the same pcg with the raw function runs clean)
+        mv = lambda pl_, v: fs.additive_fastsum_matvec(
+            pl_, v, compensated=args.comp_op)
         operand = plan
     else:
         K = jax.jit(
             lambda Xv, p: additive_kernel_matrix(args.kernel, p, Xv, windows)
         )(X, params)
-        mv = jax.jit(lambda K_, v: jnp.matmul(K_, v, precision="highest"))
+        mv = lambda K_, v: jnp.matmul(K_, v, precision="highest")
         operand = K
-    jax.block_until_ready(mv(operand, b))
+    jax.block_until_ready(jax.jit(mv)(operand, b))
     t_op = time.time() - t0
     out["operator_build_s"] = round(t_op, 2)
     print(f"operator build+compile {t_op:.1f}s", flush=True)
@@ -267,25 +270,21 @@ def main():
             return perm_a, idx, mask
 
         perm_a, idx, mask = x32_trace(_afn_prep)
-        from preconditioned_additive_gaussian_processes_with_fourier_acceleration_tpu.ops.matops import (
-            ell_transpose_pattern,
-        )
-
         pattern = (np.asarray(idx), np.asarray(mask))
-        tr_, ts_, tm_ = ell_transpose_pattern(*pattern)
 
         # plan arrays as jit ARGUMENTS (closure-captured arrays inline as
         # MLIR constants; at n=1e5 the upload exceeds the tunnel's request
-        # size limit — HTTP 413)
-        def _setup(Xv, pp, permv, idxv, maskv, trv, tsv, tmv):
+        # size limit — HTTP 413).  NO transpose pattern: the gathered
+        # transpose product both measured slower AND its gather faults the
+        # tunneled backend inside the pcg jit (r4 isolation).
+        def _setup(Xv, pp, permv, idxv, maskv):
             pl = AfnPlan(perm=permv, k=args.rank, use_ran=False,
-                         pattern=(idxv, maskv), pattern_t=(trv, tsv, tmv))
+                         pattern=(idxv, maskv))
             return afn_setup_from_plan(args.kernel, pp, Xv, pl, windows=windows)
 
         afn = x32_trace(lambda: jax.jit(_setup)(
             X, params, jnp.asarray(perm_a), jnp.asarray(pattern[0]),
-            jnp.asarray(pattern[1]), jnp.asarray(tr_), jnp.asarray(ts_),
-            jnp.asarray(tm_),
+            jnp.asarray(pattern[1]),
         ))
         jax.block_until_ready(afn.L11)
         run_both("afn", afn, time.time() - t0)
