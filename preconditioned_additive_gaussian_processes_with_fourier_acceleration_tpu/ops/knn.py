@@ -87,3 +87,78 @@ def knn_pattern(X, lfil: int, *, block: int = 1024, col_block: int = 32768):
     idx = jnp.concatenate([idx, self_col], axis=1)
     mask = jnp.concatenate([mask, jnp.ones((n, 1), bool)], axis=1)
     return idx.astype(jnp.int32), mask
+
+
+def knn_pattern_hostloop(X, lfil: int, *, row_chunk: int = 8192,
+                         col_block: int = 32768):
+    """knn_pattern as a HOST loop of per-chunk jitted calls.
+
+    The single-jit form's 1000-step lax.map crashed the tunneled TPU worker
+    at n=1e6 (r4); dispatching row chunks as separate (shape-stable, cached)
+    jit calls bounds each device program and shows progress.  Returns the
+    same (idx, mask) numpy arrays.
+    """
+    import numpy as np
+    from functools import partial
+
+    n, d = X.shape
+    k = lfil - 1
+    cb = min(col_block, n)
+    ncb = -(-n // cb)
+    ncpad = ncb * cb
+    Xcpad = jnp.zeros((ncpad, d), X.dtype).at[:n].set(X)
+    cxx = jnp.sum(Xcpad * Xcpad, axis=1)
+
+    @partial(jax.jit, static_argnames=())
+    def one_chunk(Xcpad, cxx, Xb, rows):
+        # Xcpad/cxx are ARGUMENTS (closure capture inlines them as MLIR
+        # constants — 40 MB at n=1e6 — and trips the tunnel request cap)
+        bxx = jnp.sum(Xb * Xb, axis=1)[:, None]
+
+        def col_step(c, carry):
+            best_d, best_i = carry
+            cols = c * cb + jnp.arange(cb)
+            Xc = Xcpad[cols]
+            d2 = bxx + cxx[cols][None, :] - 2.0 * (Xb @ Xc.T)
+            valid = cols[None, :] < jnp.minimum(rows[:, None], n)
+            d2 = jnp.where(valid, d2, jnp.inf)
+            cat_d = jnp.concatenate([best_d, d2], axis=1)
+            cat_i = jnp.concatenate(
+                [best_i,
+                 jnp.broadcast_to(cols[None, :].astype(jnp.int32), d2.shape)],
+                axis=1,
+            )
+            neg, sel = lax.top_k(-cat_d, k)
+            return -neg, jnp.take_along_axis(cat_i, sel, axis=1)
+
+        init = (
+            jnp.full((Xb.shape[0], k), jnp.inf, X.dtype),
+            jnp.zeros((Xb.shape[0], k), jnp.int32),
+        )
+        best_d, best_i = lax.fori_loop(0, ncb, col_step, init)
+        kmask = jnp.isfinite(best_d)
+        sort_key = jnp.where(kmask, best_i, n + 1)
+        order = jnp.argsort(sort_key, axis=1)
+        return (
+            jnp.take_along_axis(best_i, order, axis=1),
+            jnp.take_along_axis(kmask, order, axis=1),
+        )
+
+    nrc = -(-n // row_chunk)
+    npad = nrc * row_chunk
+    Xpad = jnp.zeros((npad, d), X.dtype).at[:n].set(X)
+    idx_parts, mask_parts = [], []
+    for c in range(nrc):
+        rows = jnp.arange(c * row_chunk, (c + 1) * row_chunk)
+        i_c, m_c = one_chunk(Xcpad, cxx,
+                             Xpad[c * row_chunk : (c + 1) * row_chunk], rows)
+        idx_parts.append(np.asarray(i_c))
+        mask_parts.append(np.asarray(m_c))
+    idx = np.concatenate(idx_parts)[:n]
+    mask = np.concatenate(mask_parts)[:n]
+
+    self_col = np.arange(n, dtype=np.int64)[:, None]
+    idx = np.where(mask, idx, self_col)
+    idx = np.concatenate([idx, self_col], axis=1)
+    mask = np.concatenate([mask, np.ones((n, 1), bool)], axis=1)
+    return idx.astype(np.int32), mask

@@ -313,12 +313,31 @@ def _afn_setup_impl(kind, params, X, plan, require_grad, windows):
         mat = lambda p, A, B=None: additive_kernel_matrix(kind, p, A, windows, B)
         mat_g = lambda p, A, B=None: additive_kernel_matrix_with_grad(kind, p, A, windows, B)
 
+    # the (k, n2) cross block builds in COLUMN chunks at scale: the additive
+    # kernel's per-window distance intermediates are each (k, n2) — at
+    # n2=1e6, 5 windows of unchunked build transients OOM the 16 GB chip
+    col_chunk = 131072
+
+    def _chunked_cols(build_fn, X2v, with_grad):
+        n2v = X2v.shape[0]
+        if n2v <= col_chunk:
+            return build_fn(X2v)
+        nc = -(-n2v // col_chunk)
+        X2p = jnp.zeros((nc * col_chunk, X2v.shape[1]), X2v.dtype).at[:n2v].set(X2v)
+        parts = jax.lax.map(build_fn, X2p.reshape(nc, col_chunk, X2v.shape[1]))
+        if with_grad:
+            Kp, dKp = parts
+            K = jnp.moveaxis(Kp, 0, 1).reshape(k, nc * col_chunk)[:, :n2v]
+            dK = jnp.moveaxis(dKp, 0, 2).reshape(3, k, nc * col_chunk)[:, :, :n2v]
+            return K, dK
+        return jnp.moveaxis(parts, 0, 1).reshape(k, nc * col_chunk)[:, :n2v]
+
     if require_grad:
         K11, dK11 = mat_g(params, X1)
-        K12, dK12 = mat_g(params, X1, X2)
+        K12, dK12 = _chunked_cols(lambda Xc: mat_g(params, X1, Xc), X2, True)
     else:
         K11 = mat(params, X1)
-        K12 = mat(params, X1, X2)
+        K12 = _chunked_cols(lambda Xc: mat(params, X1, Xc), X2, False)
         dK11 = dK12 = None
 
     L11, _ = stable_chol(K11)
@@ -355,37 +374,41 @@ def _afn_setup_impl(kind, params, X, plan, require_grad, windows):
         B22 = mat(params, XJ)
         return B22 - gk.T @ gk, None
 
-    # chunk the row-block evaluation: a flat vmap gathers GK12[:, J] for all
-    # rows at once — a (n2, k, lfil) transient (~13 GB at n=1e6, k=200,
-    # lfil=16) that OOMs; lax.map over row chunks bounds it at
-    # (chunk, k, lfil) while keeping every chunk a full batched GEMM/cholesky
+    # chunk the whole FSAI row pipeline (block evaluation + row cholesky
+    # solves): a flat vmap materializes the (n2, k, lfil) GK12 gather AND
+    # the (n2, lfil, lfil) block/factor arrays — several GB of concurrent
+    # transients that OOM the 16 GB chip at n=1e6.  lax.map over row chunks
+    # keeps peak memory at the chunk size while every chunk is still a full
+    # batched GEMM/cholesky; only the (n2, lfil) rows ever materialize.
     n2 = idx.shape[0]
+    lfil = idx.shape[1]
     chunk = 32768
-    if require_grad:
-        if n2 <= chunk:
-            blocks, dblocks = jax.vmap(block_fn)(idx)
+
+    def rows_chunk(args):
+        idx_c, mask_c = args
+        if require_grad:
+            B, dB = jax.vmap(block_fn)(idx_c)
         else:
-            nc = -(-n2 // chunk)
-            idx_p = jnp.zeros((nc * chunk, idx.shape[1]), idx.dtype).at[:n2].set(idx)
-            blocks, dblocks = jax.lax.map(
-                lambda Jc: jax.vmap(block_fn)(Jc),
-                idx_p.reshape(nc, chunk, idx.shape[1]),
-            )
-            blocks = blocks.reshape(nc * chunk, *blocks.shape[2:])[:n2]
-            dblocks = dblocks.reshape(nc * chunk, *dblocks.shape[2:])[:n2]
+            B = jax.vmap(lambda J: block_fn(J)[0])(idx_c)
+            dB = None
+        return fsai_rows_from_blocks(B, dB, mask_c)
+
+    if n2 <= chunk:
+        val, dval, breakdown = rows_chunk((idx, mask))
     else:
-        if n2 <= chunk:
-            blocks = jax.vmap(lambda J: block_fn(J)[0])(idx)
+        nc = -(-n2 // chunk)
+        idx_p = jnp.zeros((nc * chunk, lfil), idx.dtype).at[:n2].set(idx)
+        mask_p = jnp.zeros((nc * chunk, lfil), bool).at[:n2].set(mask)
+        val, dval, bad = jax.lax.map(
+            rows_chunk,
+            (idx_p.reshape(nc, chunk, lfil), mask_p.reshape(nc, chunk, lfil)),
+        )
+        val = val.reshape(nc * chunk, lfil)[:n2]
+        if require_grad:
+            dval = jnp.moveaxis(dval, 0, 1).reshape(3, nc * chunk, lfil)[:, :n2]
         else:
-            nc = -(-n2 // chunk)
-            idx_p = jnp.zeros((nc * chunk, idx.shape[1]), idx.dtype).at[:n2].set(idx)
-            blocks = jax.lax.map(
-                lambda Jc: jax.vmap(lambda J: block_fn(J)[0])(Jc),
-                idx_p.reshape(nc, chunk, idx.shape[1]),
-            )
-            blocks = blocks.reshape(nc * chunk, *blocks.shape[2:])[:n2]
-        dblocks = None
-    val, dval, breakdown = fsai_rows_from_blocks(blocks, dblocks, mask)
+            dval = None
+        breakdown = jnp.any(bad)
     tkw = {}
     if getattr(plan, "pattern_t", None) is not None:
         tr, ts, tm = plan.pattern_t

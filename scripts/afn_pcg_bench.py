@@ -65,6 +65,7 @@ def main():
                     " f64 vectors remove that wall while every matmul stays"
                     " on the MXU.")
     ap.add_argument("--precs", default="none,nystrom,afn")
+    ap.add_argument("--solvers", default="pcg,fgmres")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -221,15 +222,17 @@ def main():
             run_p = lambda: pcg_run(operand, b_solver, pre)
             run_f = lambda: fg_run(operand, b_solver, pre)
 
-        res = jax.block_until_ready(run_p())
-        t0 = time.time()
-        res = jax.block_until_ready(run_p())
-        report(name, "pcg", res, time.time() - t0, setup_s)
+        if "pcg" in args.solvers:
+            res = jax.block_until_ready(run_p())
+            t0 = time.time()
+            res = jax.block_until_ready(run_p())
+            report(name, "pcg", res, time.time() - t0, setup_s)
 
-        resf = jax.block_until_ready(run_f())
-        t0 = time.time()
-        resf = jax.block_until_ready(run_f())
-        report(name, "fgmres", resf, time.time() - t0, setup_s)
+        if "fgmres" in args.solvers:
+            resf = jax.block_until_ready(run_f())
+            t0 = time.time()
+            resf = jax.block_until_ready(run_f())
+            report(name, "fgmres", resf, time.time() - t0, setup_s)
 
     def x32_trace(fn):
         """Trace/compile fn with x64 OFF (mixed mode): the f32 setup graphs
@@ -264,9 +267,19 @@ def main():
         def _afn_prep():
             perm_k = fps(X, args.rank).perm
             perm_a = np.asarray(jax.jit(lambda p: expand_perm(p, n))(perm_k))
-            idx, mask = jax.jit(
-                lambda Xv: knn_pattern(Xv, args.lfil)
-            )(X[perm_a[args.rank:]])
+            X2 = X[perm_a[args.rank:]]
+            if n > 200_000:
+                # host-loop chunks: the single-jit KNN's ~1000-step lax.map
+                # crashed the tunneled TPU worker at n=1e6 (r4)
+                from preconditioned_additive_gaussian_processes_with_fourier_acceleration_tpu.ops.knn import (
+                    knn_pattern_hostloop,
+                )
+
+                idx, mask = knn_pattern_hostloop(X2, args.lfil)
+            else:
+                idx, mask = jax.jit(
+                    lambda Xv: knn_pattern(Xv, args.lfil)
+                )(X2)
             return perm_a, idx, mask
 
         perm_a, idx, mask = x32_trace(_afn_prep)
