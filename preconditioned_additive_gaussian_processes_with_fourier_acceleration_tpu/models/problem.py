@@ -364,23 +364,35 @@ class GPProblem:
         cfg = self._cfg()
         p0 = KernelParams.make(1.0, 1.0, 0.1, dtype=X.dtype)
         psetup = self._precond_factory(X, p0)
+        # ONE jit around the whole prediction: on the remote-compile backend
+        # an eager prediction pays a compile round-trip per op (measured
+        # 400+ s for a 5.9k-point joint-plan predict; jitted: seconds).
+        # The windows array is built OUTSIDE the trace (a tracing-time
+        # jnp constant fails np.asarray in the geometry grouping).
+        warr = self._windows_arr()
+        warr = np.asarray(warr) if warr is not None else None
         if self.operator == "fastsum":
             from .gp import gp_predict_fastsum
 
-            res = gp_predict_fastsum(
-                self.raw_params_, X, y, X_test, cfg,
-                windows=self._windows_arr(), fastsum_N=self.fastsum_N,
-                precond_setup=psetup, with_std=with_std,
-                maxits=maxits or 2 * self.maxits * 10,
-                oversample=self.fastsum_oversample,
-                nearfield_lfil=self._nf_lfil(),
+            run = jax.jit(
+                lambda rp, Xv, yv, Xt: gp_predict_fastsum(
+                    rp, Xv, yv, Xt, cfg,
+                    windows=warr, fastsum_N=self.fastsum_N,
+                    precond_setup=psetup, with_std=with_std,
+                    maxits=maxits or 2 * self.maxits * 10,
+                    oversample=self.fastsum_oversample,
+                    nearfield_lfil=self._nf_lfil(),
+                )
             )
         else:
-            res = gp_predict(
-                self.raw_params_, X, y, X_test, cfg,
-                windows=self._windows_arr(), precond_setup=psetup,
-                with_std=with_std, maxits=maxits or 2 * self.maxits * 10,
+            run = jax.jit(
+                lambda rp, Xv, yv, Xt: gp_predict(
+                    rp, Xv, yv, Xt, cfg,
+                    windows=warr, precond_setup=psetup,
+                    with_std=with_std, maxits=maxits or 2 * self.maxits * 10,
+                )
             )
+        res = run(self.raw_params_, X, y, X_test)
         return (res.mean, res.std) if with_std else res.mean
 
     # --- checkpoint / resume (new capability; the reference only keeps
