@@ -95,14 +95,16 @@ def main():
     else:
         print(f"single chip ({jax.devices()[0].platform}); n={n}")
 
-    # build plan in-graph (geometry inherits the row sharding of X)
-    @jax.jit
-    def build(Xv):
-        geom = additive_fastsum_geometry(Xv, windows, N=args.fastsum_N)
-        return additive_fastsum_coeffs("gaussian", params, geom, psd_clip=True)
-
+    # STAGED build (separate cached jits): the r3 monolithic
+    # geometry+coeffs jit took 968 s to compile at N=1e6 on the tunneled
+    # backend; the staged form is ~28 s cold / 0.2 s warm (SETUP.md)
     t0 = time.perf_counter()
-    plan = jax.block_until_ready(build(X))
+    geom = jax.block_until_ready(jax.jit(
+        lambda Xv: additive_fastsum_geometry(Xv, windows, N=args.fastsum_N)
+    )(X))
+    plan = jax.block_until_ready(jax.jit(
+        lambda g, p: additive_fastsum_coeffs("gaussian", p, g, psd_clip=True)
+    )(geom, params))
     t_build = time.perf_counter() - t0
 
     iters = args.iters
