@@ -382,6 +382,8 @@ def nearfield_patterns(kind: str, geom: FastsumGeometry,
     if not sym:
         return pat
     sidx, smask = symmetrize_pattern(pat[0], pat[1])
+    if sidx.shape[1] > max(4 * lfil, 64):   # skewed in-degree guard (above)
+        return (pat[0], pat[1], False)
     return (jnp.asarray(sidx), jnp.asarray(smask), True)
 
 
@@ -415,16 +417,33 @@ def symmetrize_nearfield_patterns(pats):
     """
     import numpy as _np
 
-    out = []
+    all_syms = []
     for pat in pats:
+        if pat is None:
+            all_syms.append(None)
+            continue
+        idxs, masks = _np.asarray(pat[0]), _np.asarray(pat[1])
+        lfil = idxs.shape[2]
+        syms = [symmetrize_pattern(idxs[w], masks[w]) for w in range(idxs.shape[0])]
+        lf = max(si.shape[1] for si, _ in syms)
+        # skewed in-degree guard: a point that is the nearest-preceding
+        # neighbor of many later points blows the pad-to-max width (measured
+        # lfil_s=465 for a 3-D window at n=13k -> a 24 GB gather transient);
+        # beyond ~4x lfil the padded-symmetric form wastes more than the
+        # scatter costs.  The decision is GLOBAL (all groups or none): the
+        # packed apply carries ONE static nf_sym flag per plan.
+        if lf > max(4 * lfil, 64):
+            return tuple(
+                None if pat is None else (pat[0], pat[1], False) for pat in pats
+            )
+        all_syms.append((idxs.shape, lf, syms))
+
+    out = []
+    for pat, info in zip(pats, all_syms):
         if pat is None:
             out.append(None)
             continue
-        idxs, masks = _np.asarray(pat[0]), _np.asarray(pat[1])
-        syms = [symmetrize_pattern(idxs[w], masks[w]) for w in range(idxs.shape[0])]
-        lf = max(si.shape[1] for si, _ in syms)
-        n = idxs.shape[1]
-        Wg = idxs.shape[0]
+        (Wg, n, _lfil), lf, syms = info
         sidx = _np.zeros((Wg, n, lf), _np.int32)
         smask = _np.zeros((Wg, n, lf), bool)
         for w, (si, sm) in enumerate(syms):
