@@ -67,7 +67,6 @@ def fgmres(
     x0 = jnp.zeros_like(b) if x0 is None else x0
     psolve = precond if precond is not None else (lambda r: r)
     maxits = kdim if maxits is None else maxits
-    n_cycles = -(-maxits // kdim)  # ceil
     dot_fn, norm_fn = make_reducers(compensated)
 
     normb = norm_fn(b)
