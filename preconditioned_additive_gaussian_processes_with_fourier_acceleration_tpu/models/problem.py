@@ -28,7 +28,7 @@ from .transforms import transform_inverse
 from .adam import adam_run
 
 
-def _stream_ops(plan, table_dtype):
+def _stream_ops(plan, table_dtype, nf_stencils=None):
     """(matvec, dmatvec) on the streamed packed-table Pallas kernels.
 
     Both are custom_vmap-wrapped so SLQ's vmap over Rademacher probes
@@ -39,7 +39,8 @@ def _stream_ops(plan, table_dtype):
     """
     from jax import custom_batching
 
-    pn = fs.packed_ndft_plan(plan, table_dtype=table_dtype)
+    pn = fs.packed_ndft_plan(plan, table_dtype=table_dtype,
+                             nf_stencils=nf_stencils)
     interp = jax.default_backend() == "cpu"   # Mosaic is TPU-only
     # upcast=True: bf16 table blocks upcast to f32 in VMEM before the dots —
     # measured SAME speed as direct-bf16 MXU operands on v5e (the matvec is
@@ -161,16 +162,25 @@ class GPProblem:
             # dataset, not per loss eval (the correction VALUES still
             # refresh with params inside build)
             nf_pats = None
+            nf_stens = None
             if self._nf_lfil() > 0:
-                nf_pats = jax.jit(
-                    lambda g: fs.additive_nearfield_patterns(
-                        self.kernel, g, self._nf_lfil()
-                    )
-                )(geom)
-                # symmetrize on host (once per dataset): the apply becomes a
-                # single gather-matvec — the scatter-add transpose product
-                # serializes on the tunneled TPU backend (r4 profiling)
-                nf_pats = fs.symmetrize_nearfield_patterns(nf_pats)
+                # cell-stencil radius near-field (once per dataset): the
+                # support is radius-based (the reference's eps_I semantics)
+                # and the apply a gather-free dense stencil contraction
+                # (ops/cellgrid.py: 0.71 vs 11.3 ms at (1e5, 16) on v5e).
+                nf_pats, nf_stens = fs.additive_nearfield_radius_stencils(
+                    geom, self.kernel, self._nf_lfil()
+                )
+                if nf_pats is None:
+                    # degenerate grids (clustered/duplicate features): KNN
+                    # pattern + host symmetrization — one gather-matvec
+                    # instead of the scatter-add transpose (r4 profiling)
+                    nf_pats = jax.jit(
+                        lambda g: fs.additive_nearfield_patterns(
+                            self.kernel, g, self._nf_lfil()
+                        )
+                    )(geom)
+                    nf_pats = fs.symmetrize_nearfield_patterns(nf_pats)
 
             if self.fastsum_fused and self.fastsum_engine == "stream":
                 raise ValueError(
@@ -193,7 +203,7 @@ class GPProblem:
                     nf_patterns=nf_pats,
                 )
                 if use_stream:
-                    return _stream_ops(plan, tdt)
+                    return _stream_ops(plan, tdt, nf_stencils=nf_stens)
                 if self.fastsum_fused:
                     return (
                         lambda v: fs.additive_fastsum_matvec_fused(plan, v),
@@ -210,12 +220,18 @@ class GPProblem:
         )(X)
         nf_pat = None
         if self._nf_lfil() > 0:
-            nf_pat = jax.jit(
+            pat = jax.jit(
                 lambda g: fs.nearfield_patterns(self.kernel, g, self._nf_lfil())
             )(geom)
-            sidx, smask = fs.symmetrize_pattern(nf_pat[0], nf_pat[1])
+            # symmetrize WITH the skewed in-degree guard (same rule as
+            # symmetrize_nearfield_patterns: a point that is the nearest
+            # preceding neighbor of many later points blows the pad width)
             import jax.numpy as _jnp
-            nf_pat = (_jnp.asarray(sidx), _jnp.asarray(smask), True)
+            sidx, smask = fs.symmetrize_pattern(pat[0], pat[1])
+            if sidx.shape[1] > max(4 * self._nf_lfil(), 64):
+                nf_pat = (pat[0], pat[1], False)
+            else:
+                nf_pat = (_jnp.asarray(sidx), _jnp.asarray(smask), True)
 
         def build(params):
             plan = fs.fastsum_coeffs(

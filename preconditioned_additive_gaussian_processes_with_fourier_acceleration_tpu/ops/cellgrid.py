@@ -323,6 +323,92 @@ def stencil_transpose(dev: CellGridDev, sm: StencilMatrix) -> StencilMatrix:
 # --- ELL -> stencil embedding ----------------------------------------------
 
 
+def radius_pattern(grid: CellGrid, x, rho: Optional[float] = None, *,
+                   cell_chunk: int = 4096):
+    """HOST: symmetric radius-rho pattern from the stencil (numpy).
+
+    Every pair within distance rho (<= grid.h so membership stays inside
+    one cell hop) appears in BOTH rows; self occupies the last slot.  This
+    is the NFFT3 eps_I-style near-field support: symmetric by construction
+    (no symmetrize/halving bookkeeping) and exception-free on the stencil.
+    Returns (idx, mask) of shape (n, lfil_r) with USER-order ids, rows in
+    user order; lfil_r = max in-radius degree + 1.
+    """
+    x = np.asarray(x)
+    n, d = x.shape
+    rho = float(grid.h if rho is None else min(rho, grid.h))
+    c = grid.c
+    ncells = grid.ncells
+    shape = grid.shape
+    noffs = 3 ** d
+
+    # padded per-cell sorted ids and coordinates
+    counts = grid.starts[1:] - grid.starts[:-1]
+    slot_sid = np.minimum(
+        grid.starts[:-1][:, None] + np.arange(c)[None, :], n - 1
+    )
+    valid = np.arange(c)[None, :] < counts[:, None]          # (ncells, c)
+    xs = x[grid.perm]                                        # sorted coords
+    Xp = np.where(valid[:, :, None], xs[slot_sid], np.inf)   # (ncells, c, d)
+
+    # neighbor views via spatial shifts (host numpy)
+    sp_x = Xp.reshape(*shape, c, d)
+    sp_sid = slot_sid.reshape(*shape, c)
+    sp_valid = valid.reshape(*shape, c)
+    padw = [(1, 1)] * d + [(0, 0)]
+    nb_x, nb_sid, nb_valid = [], [], []
+    for off in _offsets(d):
+        sl = tuple(slice(1 + o, 1 + o + s) for o, s in zip(off, shape))
+        nb_x.append(np.pad(sp_x, padw + [(0, 0)],
+                           constant_values=np.inf)[sl])
+        nb_sid.append(np.pad(sp_sid, padw)[sl])
+        nb_valid.append(np.pad(sp_valid, padw)[sl])
+    nb_x = np.concatenate(nb_x, axis=d).reshape(ncells, noffs * c, d)
+    nb_sid = np.concatenate(nb_sid, axis=d).reshape(ncells, noffs * c)
+    nb_valid = np.concatenate(nb_valid, axis=d).reshape(ncells, noffs * c)
+
+    coo_rows, coo_nbs = [], []
+    for lo in range(0, ncells, cell_chunk):
+        hi = min(lo + cell_chunk, ncells)
+        D = Xp[lo:hi, :, None, :] - nb_x[lo:hi, None, :, :]
+        r2 = np.einsum("cijk,cijk->cij", D, D)
+        sid_own = slot_sid[lo:hi][:, :, None]
+        keep = (
+            (r2 <= rho * rho)
+            & nb_valid[lo:hi][:, None, :]
+            & valid[lo:hi][:, :, None]
+            & (nb_sid[lo:hi][:, None, :] != sid_own)
+        )
+        cell_ids, ii, ww = np.nonzero(keep)
+        coo_rows.append(slot_sid[lo + cell_ids, ii])
+        coo_nbs.append(nb_sid[lo + cell_ids, ww])
+    rows = np.concatenate(coo_rows) if coo_rows else np.zeros(0, np.int64)
+    nbs = np.concatenate(coo_nbs) if coo_nbs else np.zeros(0, np.int64)
+    order = np.argsort(rows, kind="stable")
+    rows, nbs = rows[order], nbs[order]
+    first = np.searchsorted(rows, rows, side="left")
+    rank = np.arange(rows.size) - first
+    lfil_r = int(rank.max()) + 2 if rows.size else 1
+
+    idx = np.zeros((n, lfil_r), np.int64)
+    mask = np.zeros((n, lfil_r), bool)
+    idx[rows, rank] = nbs
+    mask[rows, rank] = True
+    # self in the last slot
+    idx[:, -1] = np.arange(n)
+    mask[:, -1] = True
+    # map sorted ids -> user ids, rows -> user order
+    idx_user = grid.perm[np.where(mask, idx, 0)]
+    idx_user = np.where(mask, idx_user, 0)
+    out_idx = np.zeros_like(idx_user)
+    out_mask = np.zeros_like(mask)
+    out_idx[grid.perm] = idx_user
+    out_mask[grid.perm] = mask
+    out_idx = np.where(out_mask, out_idx,
+                       np.arange(n, dtype=np.int64)[:, None])
+    return out_idx.astype(np.int32), out_mask
+
+
 @pytree_dataclass(static_fields=("lfil",))
 class StencilEmbed:
     """Precomputed map from a padded-ELL pattern to stencil slots.
@@ -330,26 +416,43 @@ class StencilEmbed:
     slots_p[cell, i, s] in [0, 3^d c] — the flat (offset, rank) slot of ELL
     entry s of the point in (cell, slot i); the value 3^d * c marks dead
     entries (pad slots, masked entries, or out-of-stencil neighbors).
-    row_src[cell, i] = SORTED row id feeding slot (cell, i)."""
+    row_src[cell, i] = SORTED row id feeding slot (cell, i).
+
+    exc_rows/exc_slot/exc_cols: the EXCEPTION list — valid ELL entries whose
+    neighbor is farther than one cell hop (e.g. the first rows of a
+    nearest-PRECEDING pattern, whose only predecessors are far away).  They
+    are applied as a tiny COO side term (a few hundred entries) instead of
+    inflating the cell pitch to the pattern's max distance, which would
+    blow the capacity (ids in the ELL's own row order; padded entries have
+    row 0 / slot pointing at a masked-zero value)."""
 
     lfil: int
     slots_p: jnp.ndarray       # (ncells, c, lfil) int32
     row_src: jnp.ndarray       # (ncells, c) int32
+    exc_rows: jnp.ndarray      # (ne,) int32 ELL row ids
+    exc_slot: jnp.ndarray      # (ne,) int32 ELL slot of the entry
+    exc_cols: jnp.ndarray      # (ne,) int32 neighbor ids (ELL id space)
+    exc_valid: jnp.ndarray     # (ne,) bool
 
 
 def ell_stencil_embed_plan(grid: CellGrid, idx, mask, *,
-                           sorted_idx: bool = True) -> Optional[StencilEmbed]:
+                           sorted_idx: bool = True,
+                           max_exceptions: Optional[int] = None,
+                           ) -> Optional[StencilEmbed]:
     """HOST: build the StencilEmbed for an ELL pattern on this grid.
 
     idx/mask: (n, lfil) padded-ELL pattern with SORTED-order row ids and
-    neighbor ids (sorted_idx=True) or user-order ids (False).  Returns None
-    if any valid entry's neighbor is farther than one cell hop (pattern not
-    stencil-compatible — caller falls back to the ELL apply)."""
+    neighbor ids (sorted_idx=True) or user-order ids (False).  Entries
+    farther than one cell hop land on the exception list; if there are more
+    than max_exceptions (default max(1024, n//64)) the pattern is not
+    stencil-compatible and None is returned (caller keeps the ELL apply)."""
     idx = np.asarray(idx)
     mask = np.asarray(mask)
     n, lfil = idx.shape
     d = grid.d
     shape = np.asarray(grid.shape)
+    if max_exceptions is None:
+        max_exceptions = max(1024, n // 64)
 
     if not sorted_idx:
         rows_sorted = grid.inv_perm                  # ELL row r -> sorted pos
@@ -371,14 +474,16 @@ def ell_stencil_embed_plan(grid: CellGrid, idx, mask, *,
     cq = cell_coords[nb_sorted.reshape(-1)].reshape(n, lfil, d)
     dlt = cq - cp[:, None, :]
     inrange = np.all(np.abs(dlt) <= 1, axis=2)
-    if np.any(mask & ~inrange):
+    exc = mask & ~inrange
+    ne = int(exc.sum())
+    if ne > max_exceptions:
         return None
     t = np.zeros((n, lfil), np.int64)
     for j in range(d):
         t = t * 3 + (dlt[:, :, j] + 1)
     slot = t * grid.c + grid.rank_of[nb_sorted.reshape(-1)].reshape(n, lfil)
     width = grid.noffs * grid.c
-    slot = np.where(mask, slot, width)
+    slot = np.where(mask & inrange, slot, width)
 
     # scatter rows into the padded cell layout (host side, cheap)
     c = grid.c
@@ -393,45 +498,68 @@ def ell_stencil_embed_plan(grid: CellGrid, idx, mask, *,
     src_rows = ell_row_of_sorted[slot_src]
     slots_p = slot[src_rows]                         # (ncells, c, lfil)
     slots_p = np.where(rmask[:, :, None], slots_p, width)
+
+    ne_pad = max(1, ne)
+    er = np.zeros(ne_pad, np.int32)
+    es = np.zeros(ne_pad, np.int32)
+    ec = np.zeros(ne_pad, np.int32)
+    ev = np.zeros(ne_pad, bool)
+    if ne:
+        rr, ss = np.nonzero(exc)
+        er[:ne] = rr
+        es[:ne] = ss
+        ec[:ne] = idx[rr, ss]
+        ev[:ne] = True
     return StencilEmbed(
         lfil=lfil,
         slots_p=jnp.asarray(slots_p.astype(np.int32)),
         row_src=jnp.asarray(src_rows.astype(np.int32)),
+        exc_rows=jnp.asarray(er), exc_slot=jnp.asarray(es),
+        exc_cols=jnp.asarray(ec), exc_valid=jnp.asarray(ev),
     )
 
 
 def stencil_embed(dev: CellGridDev, emb: StencilEmbed, val, *,
-                  chunk: int = 8192, out_dtype=None) -> StencilMatrix:
-    """DEVICE (jit-safe): ELL values (n, lfil) -> StencilMatrix.
+                  chunk: int = 8192, out_dtype=None):
+    """DEVICE (jit-safe): ELL values -> StencilMatrix(es).
 
-    `val` rows in the same row order the embed plan was built with.  One
-    row gather pads the value rows into cells; a one-hot comparison
-    contraction places them — no scatters."""
+    val: (n, lfil) -> one StencilMatrix; (m, n, lfil) -> list of m matrices
+    SHARING one one-hot comparison pass (the k / dk-dl value sets of a
+    near-field correction cost ~one embed).  Rows in the order the embed
+    plan was built with.  One row gather pads the value rows into cells; a
+    one-hot comparison contraction places them — no scatters."""
     c = dev.c
     width = dev.noffs * c
     ncells = dev.ncells
-    val_p = val[emb.row_src.reshape(-1)].reshape(ncells, c, emb.lfil)
-    t_iota = jnp.arange(width, dtype=jnp.int32)
+    multi = val.ndim == 3
+    if not multi:
+        val = val[None]
+    m = val.shape[0]
     odt = out_dtype or val.dtype
+    val_p = jnp.moveaxis(val, 0, -1)[emb.row_src.reshape(-1)].reshape(
+        ncells, c, emb.lfil, m
+    )
+    t_iota = jnp.arange(width, dtype=jnp.int32)
 
     def one_chunk(args):
-        vc, sc = args
+        vc, sc = args                        # (chunk, c, lfil, m) / (.., lfil)
         oh = (sc[:, :, :, None] == t_iota[None, None, None, :]).astype(odt)
-        return jnp.einsum("cis,cist->cit", vc.astype(odt), oh)
+        return jnp.einsum("cisv,cist->citv", vc.astype(odt), oh)
 
     nch = -(-ncells // chunk)
     if nch <= 1:
         A2 = one_chunk((val_p, emb.slots_p))
     else:
         padc = nch * chunk
-        vp = jnp.zeros((padc, c, emb.lfil), val_p.dtype).at[:ncells].set(val_p)
+        vp = jnp.zeros((padc, c, emb.lfil, m), val_p.dtype).at[:ncells].set(val_p)
         sp = jnp.full((padc, c, emb.lfil), width, jnp.int32).at[:ncells].set(
             emb.slots_p
         )
         A2 = jax.lax.map(
             one_chunk,
-            (vp.reshape(nch, chunk, c, emb.lfil),
+            (vp.reshape(nch, chunk, c, emb.lfil, m),
              sp.reshape(nch, chunk, c, emb.lfil)),
-        ).reshape(padc, c, width)[:ncells]
-    A = jnp.swapaxes(A2.reshape(ncells, c, dev.noffs, c), 1, 2)
-    return StencilMatrix(A=A)
+        ).reshape(padc, c, width, m)[:ncells]
+    A = jnp.swapaxes(A2.reshape(ncells, c, dev.noffs, c, m), 1, 2)
+    mats = [StencilMatrix(A=A[..., j]) for j in range(m)]
+    return mats if multi else mats[0]

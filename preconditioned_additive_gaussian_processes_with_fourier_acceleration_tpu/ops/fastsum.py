@@ -271,7 +271,7 @@ def trigpoly_eval(b, D):
 
 
 def nearfield_correction(kind: str, params: KernelParams, geom: FastsumGeometry,
-                         b, db_l, lfil: int, pattern=None):
+                         b, db_l, lfil: int, pattern=None, taper: bool = True):
     """Sparse correction phi_exact - phi_fourier on a KNN pattern.
 
     The fastsum analog of NFFT3's eps_I nearfield sum: the Fourier operator's
@@ -280,6 +280,18 @@ def nearfield_correction(kind: str, params: KernelParams, geom: FastsumGeometry,
     diagonal, slot lfil-1) recovers most of the truncation error for
     non-smooth kernels.  Returns (idx, val, dval); apply symmetrically with
     nearfield_matvec.
+
+    taper (default True): weight the correction by (1 - r/r_max)^2 with
+    r_max the pattern's largest valid pair distance.  The RAW correction is
+    an indefinite sparse perturbation whose magnitude grows as neighbor
+    distances shrink: measured lambda_min of the corrected operator at
+    matern12 l=0.5 2-D is -0.042 at n=4e3 and -0.066 at n=8e3 (>> mu=0.01;
+    .r5_m12_diag2_l05.log) — the root cause of the r4
+    AFN_PCG_3e4_matern12_f64cpu divergence.  The smooth roll-off removes
+    the hard pattern-edge truncation and restores PSD (+9.6e-4 at the same
+    config) at unchanged max operator error.  r_max is a single global
+    scalar so the tapered matrix stays exactly symmetric on both the
+    lower-tri and symmetrized patterns.
 
     pattern: optional precomputed (idx, mask) from knn_pattern — the pattern
     is params-INDEPENDENT, so training loops should compute it once per
@@ -299,6 +311,12 @@ def nearfield_correction(kind: str, params: KernelParams, geom: FastsumGeometry,
     dtp = trigpoly_eval(db_l, m).reshape(r2s.shape)
     val = jnp.where(mask, phi - tp, 0.0)
     dval = jnp.where(mask, dphi_l - dtp, 0.0)
+    if taper:
+        r = jnp.sqrt(r2s)
+        r_max = jnp.max(jnp.where(mask, r, 0.0))
+        w = jnp.square(jnp.maximum(1.0 - r / jnp.maximum(r_max, 1e-30), 0.0))
+        val = val * w
+        dval = dval * w
     return idx, val, dval
 
 
@@ -451,6 +469,209 @@ def symmetrize_nearfield_patterns(pats):
             smask[w, :, : si.shape[1]] = sm
         out.append((jnp.asarray(sidx), jnp.asarray(smask), True))
     return tuple(out)
+
+
+class NfStencil(NamedTuple):
+    """Host-built cell-stencil plan for a window's near-field pattern.
+
+    dev/emb: ops/cellgrid device maps; built once per dataset.  The
+    correction VALUES still refresh with params: packed_ndft_plan embeds
+    them into StencilMatrix form (one one-hot contraction per build) so the
+    per-iteration apply is the gather-free stencil contraction —
+    measured 0.71 ms vs 11.3 ms for the (1e5, 16) ELL gather on v5e
+    (.r5_stencil_probe.log)."""
+
+    dev: object            # cellgrid.CellGridDev
+    emb: object            # cellgrid.StencilEmbed (rows = user order)
+
+
+class NfStencilEntry(NamedTuple):
+    """Per-window embedded near-field operator (lives in PackedNDFT.nf*).
+
+    exc_*: the pattern's few out-of-stencil edges (cellgrid.StencilEmbed
+    exception list) applied as a tiny symmetric COO side term."""
+
+    dev: object            # cellgrid.CellGridDev
+    A_k: object            # StencilMatrix of the kernel correction
+    A_l: object            # StencilMatrix of the dk/dl correction (or None)
+    exc_rows: object
+    exc_cols: object
+    exc_v_k: object        # (ne,) exception values (kernel set)
+    exc_v_l: object        # (ne,) or None
+
+
+def _nf_stencil_from_pattern(x_np, idx, mask, *, target_occupancy=None,
+                             max_width_factor: int = 32):
+    """HOST: build (CellGridDev, StencilEmbed) for one window's pattern.
+
+    x_np: (n, d) scaled window points (numpy); idx/mask: the window's
+    lower-tri KNN pattern in user order.  The pitch comes from the
+    occupancy target; pattern edges longer than one cell hop (the early
+    rows of a nearest-PRECEDING pattern) ride the exception list.  Returns
+    None when the grid degenerates (clustered/duplicate data) or the
+    stencil row width exceeds max_width_factor * lfil — caller keeps the
+    ELL apply."""
+    from . import cellgrid as cg
+
+    idx = np.asarray(idx)
+    mask = np.asarray(mask)
+    lfil = idx.shape[1]
+    occ = target_occupancy if target_occupancy is not None else lfil
+    grid = cg.build_cell_grid(x_np, target_occupancy=float(occ))
+    if grid is None or grid.noffs * grid.c > max_width_factor * lfil:
+        return None
+    emb = cg.ell_stencil_embed_plan(grid, idx, mask, sorted_idx=False)
+    if emb is None:
+        return None
+    return NfStencil(dev=cg.to_device(grid), emb=emb)
+
+
+def _radius_stencil_one(x_np, lfil_hint: int, *, max_width_factor: int = 32):
+    """HOST: (grid pattern, NfStencil) for one window via the radius support.
+
+    The near-field support is RADIUS-based (the reference's eps_I
+    semantics, nfft_interface.c:18-27) and derived from the cell grid
+    itself, so it is symmetric by construction and exception-free: pitch h
+    sized so the in-radius degree ~ lfil_hint, rho = h.  Returns
+    (idx, mask, NfStencil) or None on degenerate data."""
+    from . import cellgrid as cg
+
+    occ = max(4.0, lfil_hint / 3.0)
+    grid = cg.build_cell_grid(x_np, target_occupancy=occ)
+    if grid is None or grid.noffs * grid.c > max_width_factor * max(lfil_hint, 8):
+        return None
+    idx, mask = cg.radius_pattern(grid, x_np)
+    if idx.shape[1] > max_width_factor * max(lfil_hint, 8):
+        return None
+    return idx, mask, grid
+
+
+def additive_nearfield_radius_stencils(geom, kind: str, nearfield_lfil=None):
+    """HOST: radius-based near-field patterns + stencil plans per window.
+
+    Returns (nf_pats, stencils) where nf_pats has the
+    additive_nearfield_patterns tree shape with SYMMETRIC (idx, mask, True)
+    triples (each in-radius edge in both rows, self last — drop-in for the
+    ELL sym apply), and stencils matches for packed_ndft_plan(nf_stencils=).
+    Returns (None, None) when any window's grid degenerates (the stencil
+    decision is GLOBAL, like nf_sym): callers fall back to the KNN path.
+    """
+    pats_out, stens_out = [], []
+    for dw, order, bg in geom.groups:
+        n = bg.x.shape[1]
+        d = bg.x.shape[2]
+        lfil = _resolve_nf_lfil(kind, nearfield_lfil, n, d)
+        if lfil == 0:
+            pats_out.append(None)
+            stens_out.append(None)
+            continue
+        from . import cellgrid as cg
+
+        results = []
+        for w in range(bg.x.shape[0]):
+            r = _radius_stencil_one(np.asarray(bg.x[w]), lfil)
+            if r is None:
+                return None, None
+            results.append(r)
+        wmax = max(r[0].shape[1] for r in results)
+        Wg = len(results)
+        idxs = np.tile(np.arange(n, dtype=np.int32)[None, :, None], (Wg, 1, wmax))
+        masks = np.zeros((Wg, n, wmax), bool)
+        stens = []
+        for w, (idx, mask, grid) in enumerate(results):
+            lf = idx.shape[1]
+            # keep self in the LAST slot after padding (padded slots = self)
+            idxs[w, :, : lf - 1] = idx[:, :-1]
+            masks[w, :, : lf - 1] = mask[:, :-1]
+            masks[w, :, -1] = True
+            emb = cg.ell_stencil_embed_plan(grid, idxs[w], masks[w],
+                                            sorted_idx=False, max_exceptions=0)
+            if emb is None:
+                return None, None
+            stens.append(NfStencil(dev=cg.to_device(grid), emb=emb))
+        pats_out.append((jnp.asarray(idxs), jnp.asarray(masks), True))
+        stens_out.append(tuple(stens))
+    return tuple(pats_out), tuple(stens_out)
+
+
+def _nf_embed_sym(sten: NfStencil, vals, require_grad: bool,
+                  sym_pattern: bool = True):
+    """Embed near-field value rows into a symmetric stencil operator.
+
+    vals: (val, dval) value rows.  sym_pattern=True (the radius support):
+    every undirected edge is already present in both rows and self once —
+    the embed IS the symmetric matrix.  sym_pattern=False (lower-tri rows,
+    self at slot -1): the matrix is A_half + A_half' with the self slot
+    pre-halved — one shared-one-hot embed + one dense shifted-slice
+    transpose, no scatters.  Out-of-stencil edges become the tiny COO
+    exception term (values fetched with one flat gather)."""
+    from . import cellgrid as cg
+
+    val, dval = vals
+    if sym_pattern:
+        sets = [val]
+        if require_grad and dval is not None:
+            sets.append(dval)
+        mats = cg.stencil_embed(sten.dev, sten.emb, jnp.stack(sets))
+        outs = list(mats)
+    else:
+        sets = [val.at[:, -1].mul(0.5)]
+        if require_grad and dval is not None:
+            sets.append(dval.at[:, -1].mul(0.5))
+        mats = cg.stencil_embed(sten.dev, sten.emb, jnp.stack(sets))
+        outs = []
+        for m in mats:
+            mt = cg.stencil_transpose(sten.dev, m)
+            outs.append(cg.StencilMatrix(A=m.A + mt.A))
+    A_k = outs[0]
+    A_l = outs[1] if len(outs) > 1 else None
+    emb = sten.emb
+    flat = emb.exc_rows * emb.lfil + emb.exc_slot
+
+    def exc_vals(v):
+        return jnp.where(emb.exc_valid, v.reshape(-1)[flat], 0.0)
+
+    exc_v_k = exc_vals(val)
+    exc_v_l = exc_vals(dval) if (require_grad and dval is not None) else None
+    return NfStencilEntry(dev=sten.dev, A_k=A_k, A_l=A_l,
+                          exc_rows=emb.exc_rows, exc_cols=emb.exc_cols,
+                          exc_v_k=exc_v_k, exc_v_l=exc_v_l)
+
+
+def _nf_exc_apply(trip: NfStencilEntry, x, which: str):
+    """Symmetric COO exception term: y += v * x[cols] at rows and mirrored."""
+    v = trip.exc_v_k if which == "k" else trip.exc_v_l
+    y = jnp.zeros_like(x)
+    y = y.at[trip.exc_rows].add(v * x[trip.exc_cols])
+    return y.at[trip.exc_cols].add(v * x[trip.exc_rows])
+
+
+def _nf_trip_apply(nf_sym: bool, trip, x, which: str):
+    """Apply one window's near-field correction (ELL triple or stencil)."""
+    if isinstance(trip, NfStencilEntry):
+        from .cellgrid import stencil_matvec
+
+        A = trip.A_k if which == "k" else trip.A_l
+        return stencil_matvec(trip.dev, A, x, user_order=True) + _nf_exc_apply(
+            trip, x, which
+        )
+    idx, val, dval = trip
+    return nearfield_apply(nf_sym, idx, val if which == "k" else dval, x)
+
+
+def _nf_trip_apply_batch(nf_sym: bool, trip, Xb, which: str):
+    """Batched (nv, n) variant sharing one pad/unpad across all RHS."""
+    if isinstance(trip, NfStencilEntry):
+        from .cellgrid import stencil_matvec
+
+        y = stencil_matvec(trip.dev, A := (trip.A_k if which == "k" else trip.A_l),
+                           Xb.T, user_order=True).T
+        v = trip.exc_v_k if which == "k" else trip.exc_v_l
+        y = y.at[:, trip.exc_rows].add(v[None, :] * Xb[:, trip.exc_cols])
+        y = y.at[:, trip.exc_cols].add(v[None, :] * Xb[:, trip.exc_rows])
+        return y
+    idx, val, dval = trip
+    return nearfield_apply_batch(nf_sym, idx, val if which == "k" else dval, Xb)
 
 
 def _resolve_nf_lfil(kind: str, nearfield_lfil, n: int, d: int) -> int:
@@ -1147,11 +1368,43 @@ class PackedNDFT:
 
 
 def packed_ndft_plan(plan: AdditiveFastsumPlan, *, table_dtype=None,
-                     edge_trim: bool = True, block: int = 2048) -> PackedNDFT:
-    """Build the streamed packed-kernel plan from an additive fastsum plan."""
+                     edge_trim: bool = True, block: int = 2048,
+                     nf_stencils=None, nf_require_grad: bool = True) -> PackedNDFT:
+    """Build the streamed packed-kernel plan from an additive fastsum plan.
+
+    nf_stencils: optional additive_nearfield_stencils() output — per-window
+    cell-stencil plans.  Windows with a stencil get their near-field values
+    embedded into symmetric StencilMatrix form here (jit-safe), replacing
+    the gather-based ELL triple; nf_require_grad=False skips the dk/dl
+    embed for solve-only plans."""
     from .pallas_ndft import pack_phase_table
 
     (xT, pairs, singles, w2, dw2, w1, dw1, nf2, nf1, rest) = _packed_layout(plan)
+
+    if nf_stencils is not None:
+        st2, st1 = [], []
+        gi = 0
+        for _dw, order, plans in plan.groups:
+            dw = plans.geom.x.shape[2]
+            group_st = nf_stencils[gi] if gi < len(nf_stencils) else None
+            gi += 1
+            if dw == 3:
+                continue
+            Wg = plans.w.shape[0]
+            tgt = st2 if dw == 2 else st1
+            for k in range(Wg):
+                tgt.append(None if group_st is None else group_st[k])
+        sym_pat = plan.groups[0][2].nf_sym
+        nf2 = [
+            trip if (trip is None or st is None)
+            else _nf_embed_sym(st, trip[1:], nf_require_grad, sym_pat)
+            for trip, st in zip(nf2, st2)
+        ]
+        nf1 = [
+            trip if (trip is None or st is None)
+            else _nf_embed_sym(st, trip[1:], nf_require_grad, sym_pat)
+            for trip, st in zip(nf1, st1)
+        ]
     P_full = None
     n = None
     for _dw, order, plans in plan.groups:
@@ -1220,9 +1473,8 @@ def _packed_ndft_apply(pn: PackedNDFT, x, weight_sel, *, prec: str,
         for s, (sel, nfsel) in enumerate(weight_sel):
             for trip in list(pn.nf2) + list(pn.nf1):
                 if trip is not None:
-                    idx, val, dval = trip
-                    accs[s] = accs[s] + nearfield_apply(
-                        pn.nf_sym, idx, val if nfsel == "nf_val" else dval, x
+                    accs[s] = accs[s] + _nf_trip_apply(
+                        pn.nf_sym, trip, x, "k" if nfsel == "nf_val" else "l"
                     )
 
     for dw, order, plans in pn.rest:
@@ -1296,8 +1548,7 @@ def packed_ndft_matvec_batch(pn: PackedNDFT, Xb, *, prec: str = "highest",
         acc = acc + jnp.stack(ys)
         for trip in list(pn.nf2) + list(pn.nf1):
             if trip is not None:
-                idx, val, _ = trip
-                acc = acc + nearfield_apply_batch(pn.nf_sym, idx, val, Xb)
+                acc = acc + _nf_trip_apply_batch(pn.nf_sym, trip, Xb, "k")
 
     for dw, order, plans in pn.rest:
         # vmap over the probe axis (not a Python unroll): traced program
@@ -1360,9 +1611,8 @@ def packed_ndft_grad_matvec_batch(pn: PackedNDFT, Xb, *, prec: str = "highest",
         l_acc = l_acc + jnp.stack(ys[1::2])
         for trip in list(pn.nf2) + list(pn.nf1):
             if trip is not None:
-                idx, val, dval = trip
-                k_acc = k_acc + nearfield_apply_batch(pn.nf_sym, idx, val, Xb)
-                l_acc = l_acc + nearfield_apply_batch(pn.nf_sym, idx, dval, Xb)
+                k_acc = k_acc + _nf_trip_apply_batch(pn.nf_sym, trip, Xb, "k")
+                l_acc = l_acc + _nf_trip_apply_batch(pn.nf_sym, trip, Xb, "l")
 
     for dw, order, plans in pn.rest:
         # vmap over probes (outer) and windows (inner): traced program size

@@ -28,7 +28,7 @@ from preconditioned_additive_gaussian_processes_with_fourier_acceleration_tpu.pr
 from preconditioned_additive_gaussian_processes_with_fourier_acceleration_tpu.solvers.pcg import pcg
 from preconditioned_additive_gaussian_processes_with_fourier_acceleration_tpu.utils.datasets import expand_perm
 
-n, d, rank, lfil = 8000, 10, 200, 16
+n, d, rank, lfil = 4000, 10, 200, 16
 kernel = sys.argv[1] if len(sys.argv) > 1 else "gaussian"
 l = float(sys.argv[2]) if len(sys.argv) > 2 else 0.5
 rng = np.random.default_rng(0)
