@@ -213,6 +213,13 @@ class AfnPlan(NamedTuple):
     # products in the apply (ops/matops.ell_transpose_pattern); None = use
     # the scatter-add fallback
     pattern_t: Optional[tuple] = None
+    # CELL-STENCIL layout of the Schur FSAI (ops/cellgrid.py): the Schur
+    # tail of `perm` is cell-sorted (2-D PCA projection when d > 3 — a
+    # projection KNN pattern preconditions as well as the full-d one,
+    # .r5_pattern_probe_*.log) so the G/G' applies are gather-free stencil
+    # contractions.  None = padded-ELL applies.
+    sdev: Optional[object] = None    # cellgrid.CellGridDev
+    semb: Optional[object] = None    # cellgrid.StencilEmbed
 
 
 def afn_plan(
@@ -265,19 +272,52 @@ def afn_plan(
         )
     if use_ran:
         pattern = (np.zeros((0, lfil), np.int32), np.zeros((0, lfil), bool))
-        pattern_t = None
+        return AfnPlan(perm=perm, k=k, use_ran=use_ran, pattern=pattern)
+
+    # cell-sort the Schur tail so the FSAI pattern is stencil-local and the
+    # G/G' applies run gather-free (ops/cellgrid.py; 0.71 vs 11.3 ms at
+    # (1e5, 16) on v5e).  d > 3 sorts/patterns in the 2-PC PCA projection —
+    # measured equal preconditioning quality (.r5_pattern_probe_*.log).
+    from ..ops import cellgrid as cg
+
+    X2np = np.asarray(X)[perm[k:]]
+    d_amb = X2np.shape[1]
+    if d_amb <= 3:
+        Xproj = X2np
     else:
-        idx, mask = jax.jit(
-            lambda Xv, pv: knn_pattern(Xv[pv[k:]], lfil)
-        )(X, jnp.asarray(perm))
+        Xc = X2np - X2np.mean(0)
+        sub = Xc[:: max(1, len(Xc) // 20000)]
+        _, _, Vt = np.linalg.svd(sub, full_matrices=False)
+        Xproj = Xc @ Vt[:2].T
+    sdev = semb = None
+    grid = cg.build_cell_grid(Xproj, target_occupancy=max(8.0, 0.75 * lfil))
+    if grid is not None:
+        order = grid.perm.astype(np.int64)
+        perm = np.concatenate([perm[:k], np.asarray(perm[k:])[order]])
+        Xproj = Xproj[order]
+        grid = grid._replace(
+            perm=np.arange(grid.n, dtype=np.int32),
+            inv_perm=np.arange(grid.n, dtype=np.int32),
+        )
+    # pattern space: full-d coordinates when d <= 3, the projection above it
+    Xpat = np.asarray(X)[perm[k:]] if d_amb <= 3 else Xproj
+    if Xpat.shape[0] > 200_000:
+        # host-loop chunks: the single-jit KNN's ~1000-step lax.map crashed
+        # the tunneled TPU worker at n=1e6 (r4)
+        from ..ops.knn import knn_pattern_hostloop
+
+        idx, mask = knn_pattern_hostloop(jnp.asarray(Xpat), lfil)
         pattern = (np.asarray(idx), np.asarray(mask))
-        # transpose pattern stays OPT-IN: measured on-chip, the gathered
-        # transpose product (lfil_t ~ 3*lfil slots) costs 34 ms vs the
-        # scatter-add's 12.5 ms at (1e5, 16) — gather cost scales with
-        # gathered elements, and the in-degree padding loses
-        pattern_t = None
+    else:
+        idx, mask = jax.jit(lambda Xv: knn_pattern(Xv, lfil))(jnp.asarray(Xpat))
+        pattern = (np.asarray(idx), np.asarray(mask))
+    if grid is not None:
+        semb_ = cg.ell_stencil_embed_plan(grid, pattern[0], pattern[1],
+                                          sorted_idx=True)
+        if semb_ is not None:
+            sdev, semb = cg.to_device(grid), semb_
     return AfnPlan(perm=perm, k=k, use_ran=use_ran, pattern=pattern,
-                   pattern_t=pattern_t)
+                   sdev=sdev, semb=semb)
 
 
 def afn_setup_from_plan(
@@ -414,6 +454,19 @@ def _afn_setup_impl(kind, params, X, plan, require_grad, windows):
         tr, ts, tm = plan.pattern_t
         tkw = dict(t_rows=jnp.asarray(tr), t_slot=jnp.asarray(ts),
                    t_mask=jnp.asarray(tm))
+    if getattr(plan, "sdev", None) is not None:
+        # embed G into the cell-stencil layout: gather-free G/G' applies
+        # (ops/cellgrid.py); out-of-stencil pattern edges ride the tiny
+        # directed COO exception term
+        from ..ops import cellgrid as cg
+
+        emb = plan.semb
+        sA = cg.stencil_embed(plan.sdev, emb, val)
+        sAT = cg.stencil_transpose(plan.sdev, sA)
+        flat = emb.exc_rows * emb.lfil + emb.exc_slot
+        exc_v = jnp.where(emb.exc_valid, val.reshape(-1)[flat], 0.0)
+        tkw.update(sdev=plan.sdev, sA=sA, sAT=sAT,
+                   exc_rows=emb.exc_rows, exc_cols=emb.exc_cols, exc_v=exc_v)
     gs = FsaiPrecond(idx=idx, mask=mask, val=val, dval=dval,
                      breakdown=breakdown, **tkw)
 

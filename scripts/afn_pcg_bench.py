@@ -44,6 +44,16 @@ def main():
     ap.add_argument("--maxits", type=int, default=400)
     ap.add_argument("--kernel", default="gaussian")
     ap.add_argument("--operator", default="fastsum", choices=["fastsum", "dense"])
+    ap.add_argument("--engine", default="auto", choices=["auto", "table", "stream"],
+                    help="fastsum engine: streamed packed-table Pallas kernels "
+                    "with stencil near-field (TPU default) or XLA table path")
+    ap.add_argument("--N", type=int, default=32, help="fastsum modes per dim "
+                    "(matern12 PSD+accuracy needs ~2/r_pattern; see "
+                    ".r5_opN_probe.log)")
+    ap.add_argument("--nf-lfil", type=int, default=None,
+                    help="near-field size (None = kernel auto)")
+    ap.add_argument("--table-dtype", default=None, choices=[None, "bfloat16"],
+                    help="phase-table dtype for the stream engine")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--x64", action="store_true",
                     help="f64 arrays (reference precision; pair with cpu)")
@@ -117,7 +127,8 @@ def main():
     out = {
         "n": n, "d": d, "kernel": args.kernel, "operator": args.operator,
         "rank": args.rank, "lfil": args.lfil, "l": args.l, "mu": args.mu,
-        "tol": args.tol, "maxits": args.maxits,
+        "tol": args.tol, "maxits": args.maxits, "N": args.N,
+        "engine": args.engine, "nf_lfil": args.nf_lfil,
         "compensated": args.comp, "replace_every": args.replace_every, "mixed": args.mixed,
         "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
         "platform": jax.default_backend(), "runs": {},
@@ -128,16 +139,44 @@ def main():
 
     t0 = time.time()
     if args.operator == "fastsum":
-        geom = jax.jit(lambda Xv: fs.additive_fastsum_geometry(Xv, windows))(X)
+        tdt = jnp.bfloat16 if args.table_dtype == "bfloat16" else None
+        geom = jax.jit(lambda Xv: fs.additive_fastsum_geometry(
+            Xv, windows, N=args.N, table_dtype=tdt))(X)
+        # radius-stencil near-field (host, once per dataset): symmetric
+        # support, tapered values, gather-free stencil apply (r5)
+        nf_pats = nf_stens = None
+        if fs._resolve_nf_lfil(args.kernel, args.nf_lfil, n, 2) > 0:
+            nf_pats, nf_stens = fs.additive_nearfield_radius_stencils(
+                geom, args.kernel, args.nf_lfil
+            )
+            if nf_pats is None:
+                print("radius stencil degenerate; ELL near-field", flush=True)
         plan = jax.jit(
-            lambda g, p: fs.additive_fastsum_coeffs(args.kernel, p, g, psd_clip=True)
+            lambda g, p: fs.additive_fastsum_coeffs(
+                args.kernel, p, g, psd_clip=True,
+                nearfield_lfil=args.nf_lfil, nf_patterns=nf_pats)
         )(geom, params)
-        # NOT jitted: the solvers close over mv inside their own jit, and
-        # the nested jit-in-jit form faults the tunneled backend on the AFN
-        # runs (isolated: the same pcg with the raw function runs clean)
-        mv = lambda pl_, v: fs.additive_fastsum_matvec(
-            pl_, v, compensated=args.comp_op)
-        operand = plan
+        use_stream = args.engine == "stream" or (
+            args.engine == "auto" and jax.default_backend() not in ("cpu",)
+        )
+        if use_stream:
+            pn = jax.jit(
+                lambda pl_: fs.packed_ndft_plan(pl_, table_dtype=tdt,
+                                                nf_stencils=nf_stens,
+                                                nf_require_grad=False)
+            )(plan)
+            interp = jax.default_backend() == "cpu"
+            prec = "default" if tdt == jnp.bfloat16 else "highest"
+            mv = lambda pn_, v: fs.packed_ndft_matvec(
+                pn_, v, interpret=interp, upcast=True, prec=prec)
+            operand = pn
+        else:
+            # NOT jitted: the solvers close over mv inside their own jit, and
+            # the nested jit-in-jit form faults the tunneled backend on the
+            # AFN runs (isolated: the same pcg with the raw fn runs clean)
+            mv = lambda pl_, v: fs.additive_fastsum_matvec(
+                pl_, v, compensated=args.comp_op)
+            operand = plan
     else:
         K = jax.jit(
             lambda Xv, p: additive_kernel_matrix(args.kernel, p, Xv, windows)
@@ -264,40 +303,30 @@ def main():
     if "afn" in precs:
         t0 = time.time()
 
-        def _afn_prep():
-            perm_k = fps(X, args.rank).perm
-            perm_a = np.asarray(jax.jit(lambda p: expand_perm(p, n))(perm_k))
-            X2 = X[perm_a[args.rank:]]
-            if n > 200_000:
-                # host-loop chunks: the single-jit KNN's ~1000-step lax.map
-                # crashed the tunneled TPU worker at n=1e6 (r4)
-                from preconditioned_additive_gaussian_processes_with_fourier_acceleration_tpu.ops.knn import (
-                    knn_pattern_hostloop,
-                )
+        from preconditioned_additive_gaussian_processes_with_fourier_acceleration_tpu.preconds.afn import (
+            afn_plan,
+        )
 
-                idx, mask = knn_pattern_hostloop(X2, args.lfil)
-            else:
-                idx, mask = jax.jit(
-                    lambda Xv: knn_pattern(Xv, args.lfil)
-                )(X2)
-            return perm_a, idx, mask
-
-        perm_a, idx, mask = x32_trace(_afn_prep)
-        pattern = (np.asarray(idx), np.asarray(mask))
+        # afn_plan: FPS landmarks + cell-sorted Schur tail + stencil-embedded
+        # FSAI pattern (gather-free applies, ops/cellgrid.py)
+        plan = x32_trace(lambda: afn_plan(
+            args.kernel, params, X, maxrank=args.rank, lfil=args.lfil,
+            rank=args.rank, force_afn=True,
+        ))
+        print(f"afn plan: stencil={'on' if plan.sdev is not None else 'off'} "
+              f"({time.time() - t0:.1f}s)", flush=True)
 
         # plan arrays as jit ARGUMENTS (closure-captured arrays inline as
         # MLIR constants; at n=1e5 the upload exceeds the tunnel's request
-        # size limit — HTTP 413).  NO transpose pattern: the gathered
-        # transpose product both measured slower AND its gather faults the
-        # tunneled backend inside the pcg jit (r4 isolation).
-        def _setup(Xv, pp, permv, idxv, maskv):
+        # size limit — HTTP 413)
+        def _setup(Xv, pp, permv, idxv, maskv, sdev, semb):
             pl = AfnPlan(perm=permv, k=args.rank, use_ran=False,
-                         pattern=(idxv, maskv))
+                         pattern=(idxv, maskv), sdev=sdev, semb=semb)
             return afn_setup_from_plan(args.kernel, pp, Xv, pl, windows=windows)
 
         afn = x32_trace(lambda: jax.jit(_setup)(
-            X, params, jnp.asarray(perm_a), jnp.asarray(pattern[0]),
-            jnp.asarray(pattern[1]),
+            X, params, jnp.asarray(plan.perm), jnp.asarray(plan.pattern[0]),
+            jnp.asarray(plan.pattern[1]), plan.sdev, plan.semb,
         ))
         jax.block_until_ready(afn.L11)
         run_both("afn", afn, time.time() - t0)

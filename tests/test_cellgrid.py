@@ -116,17 +116,31 @@ def test_user_order_matvec():
     np.testing.assert_allclose(got, want_u, rtol=1e-12, atol=1e-12)
 
 
-def test_embed_rejects_nonlocal_pattern():
+def test_embed_nonlocal_entries():
     rng = np.random.default_rng(0)
     X = rng.uniform(size=(300, 2))
     grid = cg.build_cell_grid(X, target_occupancy=4.0)
     assert grid is not None
-    # a deliberately global pattern: neighbor 0 for everyone
+    # a deliberately global pattern: neighbor 0 for everyone — the far
+    # edges ride the exception list; with max_exceptions=0 it must reject
     idx = np.zeros((300, 2), np.int32)
     idx[:, 1] = np.arange(300)
     mask = np.ones((300, 2), bool)
     emb = cg.ell_stencil_embed_plan(grid, idx, mask, sorted_idx=True)
-    assert emb is None
+    assert emb is not None and int(np.asarray(emb.exc_valid).sum()) > 0
+    assert cg.ell_stencil_embed_plan(grid, idx, mask, sorted_idx=True,
+                                     max_exceptions=0) is None
+    # stencil apply + exception COO term reproduces the full ELL product
+    val = np.where(mask, rng.normal(size=idx.shape), 0.0)
+    dev = cg.to_device(grid)
+    sm = cg.stencil_embed(dev, emb, jnp.asarray(val))
+    x = jnp.asarray(rng.normal(size=(300,)))
+    flat = emb.exc_rows * emb.lfil + emb.exc_slot
+    exc_v = jnp.where(emb.exc_valid, jnp.asarray(val).reshape(-1)[flat], 0.0)
+    y = cg.stencil_matvec(dev, sm, x)
+    y = y.at[emb.exc_rows].add(exc_v * x[emb.exc_cols])
+    want = np.asarray(ell_matvec(jnp.asarray(idx), jnp.asarray(val), x))
+    np.testing.assert_allclose(np.asarray(y), want, rtol=1e-6, atol=1e-6)
 
 
 def test_degenerate_data_falls_back():
