@@ -368,10 +368,9 @@ def radius_pattern(grid: CellGrid, x, rho: Optional[float] = None, *,
     nb_valid = np.concatenate(nb_valid, axis=d).reshape(ncells, noffs * c)
 
     coo_rows, coo_nbs = [], []
-    err = np.errstate(invalid="ignore")  # inf - inf pad arithmetic -> nan
     for lo in range(0, ncells, cell_chunk):
         hi = min(lo + cell_chunk, ncells)
-        with err:
+        with np.errstate(invalid="ignore"):  # inf - inf pad arithmetic
             D = Xp[lo:hi, :, None, :] - nb_x[lo:hi, None, :, :]
             r2 = np.einsum("cijk,cijk->cij", D, D)
         sid_own = slot_sid[lo:hi][:, :, None]

@@ -238,6 +238,42 @@ def _central_modes(bs, N: int, d: int):
     return bs[sl]
 
 
+def _trigpoly_eval_multi(bs, D):
+    """Re sum_k b_k e^{2 pi i k.D} for SEVERAL coefficient sets at once.
+
+    bs: list of (N,)*d real coefficient tensors (shifted mode order); D:
+    (m, d) offsets.  The phase tables C/S are built once and shared across
+    the sets (the near-field correction evaluates the kernel AND its dk/dl
+    derivative at the same pair offsets)."""
+    d = D.shape[1]
+    N = bs[0].shape[0]
+    k = jnp.arange(-(N // 2), N - N // 2, dtype=D.dtype)
+    ph = 2.0 * jnp.pi * D[:, :, None] * k[None, None, :]   # (m, d, N)
+    C = jnp.cos(ph)
+    S = jnp.sin(ph)
+    outs = []
+    for b in bs:
+        if d == 1:
+            outs.append(C[:, 0, :] @ b)
+        elif d == 2:
+            cc = jnp.einsum("mk,kl,ml->m", C[:, 0], b, C[:, 1])
+            ss = jnp.einsum("mk,kl,ml->m", S[:, 0], b, S[:, 1])
+            outs.append(cc - ss)
+        elif d == 3:
+            def tri(A1, A2, A3):
+                return jnp.einsum("mk,klr,ml,mr->m", A1, b, A2, A3)
+
+            outs.append(
+                tri(C[:, 0], C[:, 1], C[:, 2])
+                - tri(C[:, 0], S[:, 1], S[:, 2])
+                - tri(S[:, 0], C[:, 1], S[:, 2])
+                - tri(S[:, 0], S[:, 1], C[:, 2])
+            )
+        else:
+            raise NotImplementedError(f"trigpoly_eval supports d=1..3, got {d}")
+    return outs
+
+
 def trigpoly_eval(b, D):
     """Re sum_k b_k e^{2 pi i k.D} at arbitrary offsets D (m, d).
 
@@ -245,29 +281,24 @@ def trigpoly_eval(b, D):
     near-field correction (values of the Fourier operator's kernel at pair
     offsets) and by tests.
     """
-    d = D.shape[1]
-    N = b.shape[0]
-    k = jnp.arange(-(N // 2), N - N // 2, dtype=D.dtype)
-    ph = 2.0 * jnp.pi * D[:, :, None] * k[None, None, :]   # (m, d, N)
-    C = jnp.cos(ph)
-    S = jnp.sin(ph)
-    if d == 1:
-        return C[:, 0, :] @ b
-    if d == 2:
-        cc = jnp.einsum("mk,kl,ml->m", C[:, 0], b, C[:, 1])
-        ss = jnp.einsum("mk,kl,ml->m", S[:, 0], b, S[:, 1])
-        return cc - ss
-    if d == 3:
-        def tri(A1, A2, A3):
-            return jnp.einsum("mk,klr,ml,mr->m", A1, b, A2, A3)
+    return _trigpoly_eval_multi([b], D)[0]
 
-        return (
-            tri(C[:, 0], C[:, 1], C[:, 2])
-            - tri(C[:, 0], S[:, 1], S[:, 2])
-            - tri(S[:, 0], C[:, 1], S[:, 2])
-            - tri(S[:, 0], S[:, 1], C[:, 2])
-        )
-    raise NotImplementedError(f"trigpoly_eval supports d=1..3, got {d}")
+
+def trigpoly_eval_multi_chunked(bs, D, *, chunk: int = 131072):
+    """Chunked _trigpoly_eval_multi: a flat eval materializes (m, d, N)
+    phase intermediates — tens of GB at near-field scale (m = n * lfil_r,
+    N up to 256).  lax.map over pair chunks bounds the transient at
+    ~chunk * d * N while each chunk is still a full batched GEMM."""
+    m = D.shape[0]
+    if m <= chunk:
+        return _trigpoly_eval_multi(bs, D)
+    nch = -(-m // chunk)
+    Dp = jnp.zeros((nch * chunk, D.shape[1]), D.dtype).at[:m].set(D)
+    parts = jax.lax.map(
+        lambda Dc: tuple(_trigpoly_eval_multi(bs, Dc)),
+        Dp.reshape(nch, chunk, D.shape[1]),
+    )
+    return [p.reshape(-1)[:m] for p in parts]
 
 
 def nearfield_correction(kind: str, params: KernelParams, geom: FastsumGeometry,
@@ -306,9 +337,10 @@ def nearfield_correction(kind: str, params: KernelParams, geom: FastsumGeometry,
     r2s = jnp.sum(D * D, axis=2)
     r2_true = r2s / (geom.scale * geom.scale)
     phi, dphi_l = _BASE_KERNELS[kind](r2_true, params.l)
-    m, dd = D.reshape(-1, D.shape[2]), D.shape[2]
-    tp = trigpoly_eval(b, m).reshape(r2s.shape)
-    dtp = trigpoly_eval(db_l, m).reshape(r2s.shape)
+    m = D.reshape(-1, D.shape[2])
+    tp_f, dtp_f = trigpoly_eval_multi_chunked([b, db_l], m)
+    tp = tp_f.reshape(r2s.shape)
+    dtp = dtp_f.reshape(r2s.shape)
     val = jnp.where(mask, phi - tp, 0.0)
     dval = jnp.where(mask, dphi_l - dtp, 0.0)
     if taper:

@@ -34,7 +34,10 @@ def fps(X, k: int) -> FpsResult:
     xx = jnp.sum(X * X, axis=1)
 
     def dist2_to(i):
-        return jnp.maximum(xx + xx[i] - 2.0 * (X @ X[i]), 0.0)
+        # highest: bf16-default products misrank distances on TPU (see
+        # ops/distances.sq_distance)
+        cross = jnp.matmul(X, X[i], precision="highest")
+        return jnp.maximum(xx + xx[i] - 2.0 * cross, 0.0)
 
     dist0 = dist2_to(start)
     perm0 = jnp.zeros((k,), jnp.int32).at[0].set(start.astype(jnp.int32))

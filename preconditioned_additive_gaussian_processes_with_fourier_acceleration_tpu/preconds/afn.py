@@ -312,8 +312,13 @@ def afn_plan(
         idx, mask = jax.jit(lambda Xv: knn_pattern(Xv, lfil))(jnp.asarray(Xpat))
         pattern = (np.asarray(idx), np.asarray(mask))
     if grid is not None:
-        semb_ = cg.ell_stencil_embed_plan(grid, pattern[0], pattern[1],
-                                          sorted_idx=True)
+        # exception budget: the COO side term costs ~nothing per apply
+        # (element ops on a few thousand entries); early cell-rows of the
+        # preceding-KNN pattern legitimately produce O(n/row) of them
+        semb_ = cg.ell_stencil_embed_plan(
+            grid, pattern[0], pattern[1], sorted_idx=True,
+            max_exceptions=max(4096, Xpat.shape[0] // 16),
+        )
         if semb_ is not None:
             sdev, semb = cg.to_device(grid), semb_
     return AfnPlan(perm=perm, k=k, use_ran=use_ran, pattern=pattern,
