@@ -108,6 +108,12 @@ class GPProblem:
     # fastsum regularization is always-on, nfft_interface.c:18-27), else 0.
     fastsum_fused: bool = False        # packed Pallas fused-phase matvecs
     # (TPU only; phases regenerated in VMEM instead of HBM tables)
+    predict_operator: str = "auto"     # 'auto' | 'dense' | 'fastsum'.
+    # 'auto' SAFETY RULE: matern12 + fastsum predictions are computed with
+    # the exact dense kernel when the train set fits (n <= 20k) — the
+    # Fourier kink error amplifies through the fitted system and inflated
+    # TEST4 matern12 RMSE 0.26 -> 0.97 in r4 (TEST4.md); larger sets keep
+    # fastsum and print a warning.  Ref: TESTS/TEST4/foo.cpp:401-410.
     fastsum_engine: str = "auto"       # 'table' (XLA folded-NDFT GEMMs) |
     # 'stream' (streamed packed-table Pallas kernels, additive windows only:
     # no dot-operand HBM materializations, and SLQ probe batches share ONE
@@ -387,7 +393,20 @@ class GPProblem:
         # jnp constant fails np.asarray in the geometry grouping).
         warr = self._windows_arr()
         warr = np.asarray(warr) if warr is not None else None
-        if self.operator == "fastsum":
+        pred_op = self.predict_operator
+        if pred_op == "auto":
+            pred_op = self.operator
+            if self.operator == "fastsum" and self.kernel == "matern12":
+                if X.shape[0] <= 20_000:
+                    pred_op = "dense"
+                else:
+                    print(
+                        "[predict] WARNING: matern12 fastsum predictions "
+                        "carry the Fourier kink error (r4 TEST4: 4x RMSE "
+                        "inflation); set predict_operator='dense' if the "
+                        "train set fits, or raise fastsum_N", flush=True,
+                    )
+        if pred_op == "fastsum":
             from .gp import gp_predict_fastsum
 
             run = jax.jit(
@@ -424,7 +443,7 @@ class GPProblem:
                 "kernel", "operator", "precond", "transform", "rank", "lfil",
                 "maxits", "nvecs", "tol", "fastsum_N", "fastsum_table_dtype",
                 "fastsum_oversample", "fastsum_nearfield_lfil", "fastsum_fused",
-                "fastsum_engine", "seed",
+                "fastsum_engine", "predict_operator", "seed",
             )
         }
         np.savez(

@@ -62,7 +62,8 @@ class CellGrid(NamedTuple):
     rank_of: np.ndarray     # (n,) SORTED point -> slot within cell
     starts: np.ndarray      # (ncells + 1,) cell start offsets in sorted order
     lo: np.ndarray          # (d,) box lower corner
-    h: float                # cell pitch
+    h: float                # cell pitch (uniform binning; nan for quantile)
+    edges: Optional[tuple] = None   # per-axis bin edges (quantile binning)
 
     @property
     def ncells(self):
@@ -79,15 +80,18 @@ class CellGrid(NamedTuple):
 def build_cell_grid(x, h: Optional[float] = None, *,
                     target_occupancy: float = 12.0,
                     max_capacity_factor: float = 4.0,
-                    min_h: Optional[float] = None) -> Optional[CellGrid]:
-    """Bin points (host numpy, (n, d), d <= 3) into a uniform grid.
+                    min_h: Optional[float] = None,
+                    binning: str = "uniform") -> Optional[CellGrid]:
+    """Bin points (host numpy, (n, d), d <= 3) into a cell grid.
 
-    h: cell pitch; default sizes cells for ~target_occupancy points each.
-    min_h: raise the pitch to at least this (e.g. the KNN pattern's max
-    neighbor distance, so every pattern edge stays within one cell hop).
-    Returns None when the layout degenerates (capacity far above the mean
-    occupancy — heavily clustered/duplicate data, e.g. integer features):
-    callers fall back to the padded-ELL path.
+    binning='uniform': fixed pitch h (default sized for ~target_occupancy
+    points/cell; min_h raises it, e.g. to a pattern's max edge length).
+    binning='quantile': per-axis EQUAL-MASS bin edges — robust to
+    nonuniform densities (e.g. PCA projections of high-d data concentrate
+    ~8x above the uniform expectation, .r5 AFN d=10 probe); radius-based
+    patterns are not supported on quantile grids.
+    Returns None when the layout degenerates (capacity far above target —
+    heavily clustered/duplicate data): callers fall back to padded-ELL.
     """
     x = np.asarray(x)
     n, d = x.shape
@@ -96,15 +100,30 @@ def build_cell_grid(x, h: Optional[float] = None, *,
     lo = x.min(axis=0)
     hi = x.max(axis=0)
     ext = np.maximum(hi - lo, 1e-12)
-    if h is None:
-        vol = float(np.prod(ext))
-        h = (vol * target_occupancy / n) ** (1.0 / d)
-    if min_h is not None:
-        h = max(h, float(min_h))
-    h = float(max(h, 1e-12))
-    shape = tuple(min(int(np.ceil(e / h)) + 1, 2 ** 15) for e in ext)
-    idx = np.minimum((x - lo[None, :]) / h,
-                     np.asarray(shape)[None, :] - 1).astype(np.int64)
+    edges = None
+    if binning == "quantile":
+        nb = max(1, int(round((n / target_occupancy) ** (1.0 / d))))
+        shape = (nb,) * d
+        idx = np.empty((n, d), np.int64)
+        edges = []
+        for j in range(d):
+            e = np.quantile(x[:, j], np.linspace(0.0, 1.0, nb + 1))
+            e = np.maximum.accumulate(e)
+            edges.append(e)
+            idx[:, j] = np.clip(np.searchsorted(e[1:-1], x[:, j], "right"),
+                                0, nb - 1)
+        edges = tuple(edges)
+        h = float("nan")
+    else:
+        if h is None:
+            vol = float(np.prod(ext))
+            h = (vol * target_occupancy / n) ** (1.0 / d)
+        if min_h is not None:
+            h = max(h, float(min_h))
+        h = float(max(h, 1e-12))
+        shape = tuple(min(int(np.ceil(e / h)) + 1, 2 ** 15) for e in ext)
+        idx = np.minimum((x - lo[None, :]) / h,
+                         np.asarray(shape)[None, :] - 1).astype(np.int64)
     flat = idx[:, 0]
     for j in range(1, d):
         flat = flat * shape[j] + idx[:, j]
@@ -113,12 +132,16 @@ def build_cell_grid(x, h: Optional[float] = None, *,
     ncells = int(np.prod(shape))
     counts = np.bincount(cell_sorted, minlength=ncells)
     c = int(counts.max()) if counts.size else 1
-    # capacity guard vs the EXPECTED occupancy of the final pitch: clustered
-    # or duplicate-heavy data (integer features) concentrates far above it
-    # and the padded layout degenerates -> caller falls back to ELL
-    expected_occ = n * h ** d / float(np.prod(ext))
-    if c > max_capacity_factor * max(expected_occ, 1.0):
-        return None
+    # capacity guard: clustered or duplicate-heavy data (integer features)
+    # concentrates far above the target occupancy and the padded layout
+    # degenerates -> caller falls back to ELL
+    if binning == "quantile":
+        if c > max_capacity_factor * max(target_occupancy, 1.0):
+            return None
+    else:
+        expected_occ = n * h ** d / float(np.prod(ext))
+        if c > max_capacity_factor * max(expected_occ, 1.0):
+            return None
     starts = np.zeros(ncells + 1, np.int64)
     np.cumsum(counts, out=starts[1:])
     rank = np.arange(n) - starts[cell_sorted]
@@ -128,7 +151,7 @@ def build_cell_grid(x, h: Optional[float] = None, *,
         shape=shape, c=c, n=n, d=d,
         perm=order.astype(np.int32), inv_perm=inv.astype(np.int32),
         cell_of=cell_sorted.astype(np.int32), rank_of=rank.astype(np.int32),
-        starts=starts.astype(np.int32), lo=lo, h=h,
+        starts=starts.astype(np.int32), lo=lo, h=h, edges=edges,
     )
 
 
@@ -336,6 +359,8 @@ def radius_pattern(grid: CellGrid, x, rho: Optional[float] = None, *,
     """
     x = np.asarray(x)
     n, d = x.shape
+    if grid.edges is not None:
+        raise ValueError("radius_pattern needs a uniform-pitch grid")
     rho = float(grid.h if rho is None else min(rho, grid.h))
     c = grid.c
     ncells = grid.ncells

@@ -1445,6 +1445,15 @@ def packed_ndft_plan(plan: AdditiveFastsumPlan, *, table_dtype=None,
         break
     P = P_full - 1 if edge_trim else P_full
 
+    # auto block: the stream kernels double-buffer (rows, block) table
+    # slabs in VMEM; at large P (matern12 quality mode N>=128) the default
+    # 2048 block overflows the 16 MB scoped budget — halve until the slab
+    # pair fits ~6 MB (leaves room for the mode accumulators/G sets)
+    if xT is not None:
+        rows = xT.shape[0] * 2 * P
+        while block > 256 and rows * block * 8 > 6_000_000:
+            block //= 2
+
     def trim2(W):
         return W[:, :P, :P] if edge_trim else W
 

@@ -290,7 +290,11 @@ def afn_plan(
         _, _, Vt = np.linalg.svd(sub, full_matrices=False)
         Xproj = Xc @ Vt[:2].T
     sdev = semb = None
-    grid = cg.build_cell_grid(Xproj, target_occupancy=max(8.0, 0.75 * lfil))
+    # quantile (equal-mass) binning: PCA projections of high-d data and
+    # real datasets are far from uniform density; uniform pitch overflows
+    # its capacity guard ~8x there (.r5 d=10 probe)
+    grid = cg.build_cell_grid(Xproj, target_occupancy=max(8.0, 0.75 * lfil),
+                              binning="quantile")
     if grid is not None:
         order = grid.perm.astype(np.int64)
         perm = np.concatenate([perm[:k], np.asarray(perm[k:])[order]])

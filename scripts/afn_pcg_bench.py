@@ -65,8 +65,12 @@ def main():
                     help="ALSO use the chunked-compensated NDFT adjoint "
                     "(measured unnecessary: the plain f32 matvec is already "
                     "~2e-6 accurate at n=1e5, .r4_op_acc.log; costs 2.7x)")
-    ap.add_argument("--replace-every", type=int, default=0,
-                    help="PCG residual replacement period (f32 deep-tol)")
+    ap.add_argument("--replace-every", type=int, default=-1,
+                    help="PCG residual replacement period; -1 = AUTO: 25 on "
+                    "f32 preconditioned runs (the 1/eta projector noise made "
+                    "committed r4 nystrom:pcg rows diverge 24x at 1e6 — the "
+                    "periodic true-residual guard is now default, ref "
+                    "pcg.c:181-193), 0 in f64")
     ap.add_argument("--mixed", action="store_true",
                     help="MIXED precision on chip: f32 operator/preconditioner"
                     " matmuls, f64 Krylov vectors (x/r/p and dots).  The f32"
@@ -117,6 +121,11 @@ def main():
     )
 
     dtype = jnp.float64 if args.x64 else jnp.float32
+    if args.replace_every < 0:
+        # auto guard: periodic true-residual replacement for f32
+        # PRECONDITIONED pcg (the 1/eta noise floor); unpreconditioned and
+        # f64 runs keep the reference's final-recheck-only semantics
+        args.replace_every = 0 if (args.x64 or args.mixed) else 25
     n, d = args.n, args.d
     rng = np.random.default_rng(0)
     X = jnp.asarray(rng.uniform(size=(n, d)), dtype)
@@ -242,7 +251,7 @@ def main():
             pcg_run = jax.jit(lambda op, bb: pcg(
                 wrap_mv(op), bb,
                 tol=args.tol, maxits=args.maxits,
-                replace_every=args.replace_every))
+                replace_every=0))
             fg_run = jax.jit(lambda op, bb: fgmres(
                 wrap_mv(op), bb,
                 kdim=args.fgmres_kdim, maxits=args.maxits, tol=args.tol,
