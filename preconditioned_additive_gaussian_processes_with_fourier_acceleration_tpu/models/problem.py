@@ -167,17 +167,47 @@ class GPProblem:
             # the KNN patterns are params-independent: compute once per
             # dataset, not per loss eval (the correction VALUES still
             # refresh with params inside build)
+            if self.fastsum_fused and self.fastsum_engine == "stream":
+                raise ValueError(
+                    "fastsum_fused=True conflicts with fastsum_engine='stream' "
+                    "— pick one (fused regenerates phases in VMEM, stream "
+                    "reads packed tables)"
+                )
+            use_stream = self.fastsum_engine == "stream" or (
+                self.fastsum_engine == "auto"
+                and not self.fastsum_fused
+                and jax.default_backend() not in ("cpu",)
+            )
+
             nf_pats = None
             nf_stens = None
+            nf_lfil_build = self._nf_lfil()
             if self._nf_lfil() > 0:
-                # cell-stencil radius near-field (once per dataset): the
-                # support is radius-based (the reference's eps_I semantics)
-                # and the apply a gather-free dense stencil contraction
-                # (ops/cellgrid.py: 0.71 vs 11.3 ms at (1e5, 16) on v5e).
-                nf_pats, nf_stens = fs.additive_nearfield_radius_stencils(
-                    geom, self.kernel, self._nf_lfil()
-                )
-                if nf_pats is None:
+                if use_stream:
+                    # DIRECT cell-stencil radius near-field (once per
+                    # dataset): radius support (the reference's eps_I
+                    # semantics), values computed straight in stencil
+                    # layout, gather-free apply (ops/cellgrid.py: 0.71 vs
+                    # 11.3 ms at (1e5, 16) on v5e)
+                    nf_stens = fs.additive_nearfield_stencil_direct(
+                        geom, self.kernel, self._nf_lfil()
+                    )
+                if nf_stens is not None:
+                    # ELL patterns remain only for d=3 groups (table path)
+                    nf_lfil_build = 0
+                    has_d3 = any(bg.x.shape[2] == 3 for _, _, bg in geom.groups)
+                    if has_d3:
+                        pats = jax.jit(
+                            lambda g: fs.additive_nearfield_patterns(
+                                self.kernel, g, self._nf_lfil()
+                            )
+                        )(geom)
+                        pats = tuple(
+                            p if bg.x.shape[2] == 3 else None
+                            for p, (_, _, bg) in zip(pats, geom.groups)
+                        )
+                        nf_pats = fs.symmetrize_nearfield_patterns(pats)
+                else:
                     # degenerate grids (clustered/duplicate features): KNN
                     # pattern + host symmetrization — one gather-matvec
                     # instead of the scatter-add transpose (r4 profiling)
@@ -188,24 +218,11 @@ class GPProblem:
                     )(geom)
                     nf_pats = fs.symmetrize_nearfield_patterns(nf_pats)
 
-            if self.fastsum_fused and self.fastsum_engine == "stream":
-                raise ValueError(
-                    "fastsum_fused=True conflicts with fastsum_engine='stream' "
-                    "— pick one (fused regenerates phases in VMEM, stream "
-                    "reads packed tables)"
-                )
-            # an explicit fused opt-in wins over the 'auto' stream default
-            use_stream = self.fastsum_engine == "stream" or (
-                self.fastsum_engine == "auto"
-                and not self.fastsum_fused
-                and jax.default_backend() not in ("cpu",)
-            )
-
             def build(params):
                 plan = fs.additive_fastsum_coeffs(
                     self.kernel, params, geom,
                     oversample=self.fastsum_oversample,
-                    nearfield_lfil=self._nf_lfil(),
+                    nearfield_lfil=nf_lfil_build,
                     nf_patterns=nf_pats,
                 )
                 if use_stream:

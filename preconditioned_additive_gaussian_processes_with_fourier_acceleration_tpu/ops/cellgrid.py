@@ -346,95 +346,6 @@ def stencil_transpose(dev: CellGridDev, sm: StencilMatrix) -> StencilMatrix:
 # --- ELL -> stencil embedding ----------------------------------------------
 
 
-def radius_pattern(grid: CellGrid, x, rho: Optional[float] = None, *,
-                   cell_chunk: int = 4096):
-    """HOST: symmetric radius-rho pattern from the stencil (numpy).
-
-    Every pair within distance rho (<= grid.h so membership stays inside
-    one cell hop) appears in BOTH rows; self occupies the last slot.  This
-    is the NFFT3 eps_I-style near-field support: symmetric by construction
-    (no symmetrize/halving bookkeeping) and exception-free on the stencil.
-    Returns (idx, mask) of shape (n, lfil_r) with USER-order ids, rows in
-    user order; lfil_r = max in-radius degree + 1.
-    """
-    x = np.asarray(x)
-    n, d = x.shape
-    if grid.edges is not None:
-        raise ValueError("radius_pattern needs a uniform-pitch grid")
-    rho = float(grid.h if rho is None else min(rho, grid.h))
-    c = grid.c
-    ncells = grid.ncells
-    shape = grid.shape
-    noffs = 3 ** d
-
-    # padded per-cell sorted ids and coordinates
-    counts = grid.starts[1:] - grid.starts[:-1]
-    slot_sid = np.minimum(
-        grid.starts[:-1][:, None] + np.arange(c)[None, :], n - 1
-    )
-    valid = np.arange(c)[None, :] < counts[:, None]          # (ncells, c)
-    xs = x[grid.perm]                                        # sorted coords
-    Xp = np.where(valid[:, :, None], xs[slot_sid], np.inf)   # (ncells, c, d)
-
-    # neighbor views via spatial shifts (host numpy)
-    sp_x = Xp.reshape(*shape, c, d)
-    sp_sid = slot_sid.reshape(*shape, c)
-    sp_valid = valid.reshape(*shape, c)
-    padw = [(1, 1)] * d + [(0, 0)]
-    nb_x, nb_sid, nb_valid = [], [], []
-    for off in _offsets(d):
-        sl = tuple(slice(1 + o, 1 + o + s) for o, s in zip(off, shape))
-        nb_x.append(np.pad(sp_x, padw + [(0, 0)],
-                           constant_values=np.inf)[sl])
-        nb_sid.append(np.pad(sp_sid, padw)[sl])
-        nb_valid.append(np.pad(sp_valid, padw)[sl])
-    nb_x = np.concatenate(nb_x, axis=d).reshape(ncells, noffs * c, d)
-    nb_sid = np.concatenate(nb_sid, axis=d).reshape(ncells, noffs * c)
-    nb_valid = np.concatenate(nb_valid, axis=d).reshape(ncells, noffs * c)
-
-    coo_rows, coo_nbs = [], []
-    for lo in range(0, ncells, cell_chunk):
-        hi = min(lo + cell_chunk, ncells)
-        with np.errstate(invalid="ignore"):  # inf - inf pad arithmetic
-            D = Xp[lo:hi, :, None, :] - nb_x[lo:hi, None, :, :]
-            r2 = np.einsum("cijk,cijk->cij", D, D)
-        sid_own = slot_sid[lo:hi][:, :, None]
-        keep = (
-            (r2 <= rho * rho)
-            & nb_valid[lo:hi][:, None, :]
-            & valid[lo:hi][:, :, None]
-            & (nb_sid[lo:hi][:, None, :] != sid_own)
-        )
-        cell_ids, ii, ww = np.nonzero(keep)
-        coo_rows.append(slot_sid[lo + cell_ids, ii])
-        coo_nbs.append(nb_sid[lo + cell_ids, ww])
-    rows = np.concatenate(coo_rows) if coo_rows else np.zeros(0, np.int64)
-    nbs = np.concatenate(coo_nbs) if coo_nbs else np.zeros(0, np.int64)
-    order = np.argsort(rows, kind="stable")
-    rows, nbs = rows[order], nbs[order]
-    first = np.searchsorted(rows, rows, side="left")
-    rank = np.arange(rows.size) - first
-    lfil_r = int(rank.max()) + 2 if rows.size else 1
-
-    idx = np.zeros((n, lfil_r), np.int64)
-    mask = np.zeros((n, lfil_r), bool)
-    idx[rows, rank] = nbs
-    mask[rows, rank] = True
-    # self in the last slot
-    idx[:, -1] = np.arange(n)
-    mask[:, -1] = True
-    # map sorted ids -> user ids, rows -> user order
-    idx_user = grid.perm[np.where(mask, idx, 0)]
-    idx_user = np.where(mask, idx_user, 0)
-    out_idx = np.zeros_like(idx_user)
-    out_mask = np.zeros_like(mask)
-    out_idx[grid.perm] = idx_user
-    out_mask[grid.perm] = mask
-    out_idx = np.where(out_mask, out_idx,
-                       np.arange(n, dtype=np.int64)[:, None])
-    return out_idx.astype(np.int32), out_mask
-
-
 @pytree_dataclass(static_fields=("lfil",))
 class StencilEmbed:
     """Precomputed map from a padded-ELL pattern to stencil slots.

@@ -503,18 +503,548 @@ def symmetrize_nearfield_patterns(pats):
     return tuple(out)
 
 
-class NfStencil(NamedTuple):
-    """Host-built cell-stencil plan for a window's near-field pattern.
+class NfStencilDirect(NamedTuple):
+    """Radius near-field computed DIRECTLY in stencil layout (no ELL).
 
-    dev/emb: ops/cellgrid device maps; built once per dataset.  The
-    correction VALUES still refresh with params: packed_ndft_plan embeds
-    them into StencilMatrix form (one one-hot contraction per build) so the
-    per-iteration apply is the gather-free stencil contraction —
-    measured 0.71 ms vs 11.3 ms for the (1e5, 16) ELL gather on v5e
-    (.r5_stencil_probe.log)."""
+    The correction support is "all pairs within rho" — exactly the cell
+    pitch — so the StencilMatrix values can be evaluated straight from the
+    padded cell coordinates (pair offsets by shifted slices) instead of
+    embedding ELL rows, whose one-hot pass blows up at radius-pattern
+    widths (HBM OOM at nf~128, .r5_m12_1e5_chip2.log).  Host-built once
+    per dataset; values refresh with params in packed_ndft_plan."""
 
     dev: object            # cellgrid.CellGridDev
-    emb: object            # cellgrid.StencilEmbed (rows = user order)
+    Xpad: jnp.ndarray      # (ncells, c, d) padded SCALED window coords
+    nbmask: jnp.ndarray    # (ncells, 3^d c) neighbor-slot validity
+    rho: float             # correction radius (= grid pitch)
+
+
+def additive_nearfield_stencil_direct(geom, kind: str, nearfield_lfil=None,
+                                      *, max_width_factor: int = 48):
+    """HOST: per-group tuples of NfStencilDirect for d <= 2 windows.
+
+    nearfield_lfil sizes the radius via the cell occupancy (occ ~ lfil/3
+    so the in-radius degree ~ lfil).  Returns None when any window's grid
+    degenerates (global decision).  d=3 groups get None entries (they ride
+    the table path with ELL near-field)."""
+    from . import cellgrid as cg
+
+    out = []
+    for dw, order, bg in geom.groups:
+        n = bg.x.shape[1]
+        d = bg.x.shape[2]
+        lfil = _resolve_nf_lfil(kind, nearfield_lfil, n, d)
+        if lfil == 0 or d == 3:
+            out.append(None)
+            continue
+        entries = []
+        for w in range(bg.x.shape[0]):
+            x_np = np.asarray(bg.x[w])
+            occ = max(4.0, lfil / 3.0)
+            grid = cg.build_cell_grid(x_np, target_occupancy=occ)
+            if grid is None or grid.noffs * grid.c > max_width_factor * max(lfil, 8):
+                return None
+            dev = cg.to_device(grid)
+            Xpad = jnp.stack(
+                [cg.pad_cells_user(dev, bg.x[w][:, j]) for j in range(d)],
+                axis=-1,
+            )
+            nbmask = cg.stencil_neighbors(
+                dev, dev.padmask.astype(jnp.float32)
+            ) > 0.5
+            entries.append(NfStencilDirect(dev=dev, Xpad=Xpad, nbmask=nbmask,
+                                           rho=float(grid.h)))
+        out.append(tuple(entries))
+    return tuple(out)
+
+
+def _nf_direct_values(sten: NfStencilDirect, kind: str, params, scale,
+                      b, db_l, require_grad: bool,
+                      cell_chunk: Optional[int] = None):
+    """DEVICE (jit-safe): StencilMatrix value sets for a direct stencil.
+
+    Per cell chunk: pair offsets from the padded coords via shifted slices,
+    exact kernel minus the trigpoly (chunked phase tables), tapered by
+    (1 - r/rho)^2 — the same formula as nearfield_correction on the radius
+    support, with the ELL layout skipped entirely."""
+    from . import cellgrid as cg
+
+    dev = sten.dev
+    c = dev.c
+    w9 = dev.noffs * c
+    d = sten.Xpad.shape[-1]
+    ncells = dev.ncells
+    nbr_x = cg.stencil_neighbors(dev, sten.Xpad)        # (ncells, 3^d c, d)
+    rho = sten.rho
+    if cell_chunk is None:
+        # bound the trigpoly phase transient (pairs, d, N) at ~200 MB
+        N = b.shape[0]
+        pairs_budget = max(1, 50_000_000 // max(d * N, 1))
+        cell_chunk = max(1, pairs_budget // max(c * w9, 1))
+
+    def one_chunk(args):
+        Xp_c, nb_c, nbm_c = args
+        D = Xp_c[:, :, None, :] - nb_c[:, None, :, :]   # (cc, c, w9, d)
+        r2s = jnp.sum(D * D, axis=3)
+        r2_true = r2s / (scale * scale)
+        phi, dphi_l = _BASE_KERNELS[kind](r2_true, params.l)
+        sets = [b, db_l] if require_grad else [b]
+        tps = _trigpoly_eval_multi(sets, D.reshape(-1, d))
+        r = jnp.sqrt(r2s)
+        w = jnp.square(jnp.maximum(1.0 - r / rho, 0.0))
+        m = nbm_c[:, None, :] & (r2s <= rho * rho)
+        outs = []
+        for src, tp_f in zip([phi, dphi_l][: len(sets)], tps):
+            v = jnp.where(m, (src - tp_f.reshape(r2s.shape)) * w, 0.0)
+            outs.append(v)
+        return tuple(outs)
+
+    nch = -(-ncells // cell_chunk)
+    padc = nch * cell_chunk
+    Xp = jnp.zeros((padc, c, d), sten.Xpad.dtype).at[:ncells].set(sten.Xpad)
+    Nb = jnp.zeros((padc, w9, d), nbr_x.dtype).at[:ncells].set(nbr_x)
+    Nm = jnp.zeros((padc, w9), bool).at[:ncells].set(sten.nbmask)
+    parts = jax.lax.map(
+        one_chunk,
+        (Xp.reshape(nch, cell_chunk, c, d),
+         Nb.reshape(nch, cell_chunk, w9, d),
+         Nm.reshape(nch, cell_chunk, w9)),
+    )
+    mats = []
+    for p in parts:
+        M = p.reshape(padc, c, w9)[:ncells]             # M[cell, i, t*c+j]
+        A = jnp.swapaxes(M.reshape(ncells, c, dev.noffs, c), 1, 2)
+        mats.append(cg.StencilMatrix(A=A))
+    A_k = mats[0]
+    A_l = mats[1] if len(mats) > 1 else None
+    return NfStencilEntry(dev=dev, A_k=A_k, A_l=A_l,
+                          exc_rows=jnp.zeros((1,), jnp.int32),
+                          exc_cols=jnp.zeros((1,), jnp.int32),
+                          exc_v_k=jnp.zeros((1,), A_k.A.dtype),
+                          exc_v_l=(jnp.zeros((1,), A_k.A.dtype)
+                                   if A_l is not None else None))
+
+
+class NfStencilEntry(NamedTuple):
+    """Per-window embedded near-field operator (lives in PackedNDFT.nf*).
+
+    exc_*: the pattern's few out-of-stencil edges (cellgrid.StencilEmbed
+    exception list) applied as a tiny symmetric COO side term."""
+
+    dev: object            # cellgrid.CellGridDev
+    A_k: object            # StencilMatrix of the kernel correction
+    A_l: object            # StencilMatrix of the dk/dl correction (or None)
+    exc_rows: object
+    exc_cols: object
+    exc_v_k: object        # (ne,) exception values (kernel set)
+    exc_v_l: object        # (ne,) or None
+
+
+def _nf_stencil_from_pattern(x_np, idx, mask, *, target_occupancy=None,
+                             max_width_factor: int = 32):
+    """HOST: build (CellGridDev, StencilEmbed) for one window's pattern.
+
+    x_np: (n, d) scaled window points (numpy); idx/mask: the window's
+    lower-tri KNN pattern in user order.  The pitch comes from the
+    occupancy target; pattern edges longer than one cell hop (the early
+    rows of a nearest-PRECEDING pattern) ride the exception list.  Returns
+    None when the grid degenerates (clustered/duplicate data) or the
+    stencil row width exceeds max_width_factor * lfil — caller keeps the
+    ELL apply."""
+    from . import cellgrid as cg
+
+    idx = np.asarray(idx)
+    mask = np.asarray(mask)
+    lfil = idx.shape[1]
+    occ = target_occupancy if target_occupancy is not None else lfil
+    grid = cg.build_cell_grid(x_np, target_occupancy=float(occ))
+    if grid is None or grid.noffs * grid.c > max_width_factor * lfil:
+        return None
+    emb = cg.ell_stencil_embed_plan(grid, idx, mask, sorted_idx=False)
+    if emb is None:
+        return None
+    return NfStencil(dev=cg.to_device(grid), emb=emb)
+
+
+def additive_nearfield_stencil_direct(geom, kind: str, nearfield_lfil=None,
+                                      *, max_width_factor: int = 48):
+    """HOST: per-group tuples of NfStencilDirect for d <= 2 windows.
+
+    nearfield_lfil sizes the radius via the cell occupancy (occ ~ lfil/3
+    so the in-radius degree ~ lfil).  Returns None when any window's grid
+    degenerates (global decision).  d=3 groups get None entries (they ride
+    the table path with ELL near-field)."""
+    from . import cellgrid as cg
+
+    out = []
+    for dw, order, bg in geom.groups:
+        n = bg.x.shape[1]
+        d = bg.x.shape[2]
+        lfil = _resolve_nf_lfil(kind, nearfield_lfil, n, d)
+        if lfil == 0 or d == 3:
+            out.append(None)
+            continue
+        entries = []
+        for w in range(bg.x.shape[0]):
+            x_np = np.asarray(bg.x[w])
+            occ = max(4.0, lfil / 3.0)
+            grid = cg.build_cell_grid(x_np, target_occupancy=occ)
+            if grid is None or grid.noffs * grid.c > max_width_factor * max(lfil, 8):
+                return None
+            dev = cg.to_device(grid)
+            Xpad = jnp.stack(
+                [cg.pad_cells_user(dev, bg.x[w][:, j]) for j in range(d)],
+                axis=-1,
+            )
+            nbmask = cg.stencil_neighbors(
+                dev, dev.padmask.astype(jnp.float32)
+            ) > 0.5
+            entries.append(NfStencilDirect(dev=dev, Xpad=Xpad, nbmask=nbmask,
+                                           rho=float(grid.h)))
+        out.append(tuple(entries))
+    return tuple(out)
+
+
+def _nf_direct_values(sten: NfStencilDirect, kind: str, params, scale,
+                      b, db_l, require_grad: bool,
+                      cell_chunk: Optional[int] = None):
+    """DEVICE (jit-safe): StencilMatrix value sets for a direct stencil.
+
+    Per cell chunk: pair offsets from the padded coords via shifted slices,
+    exact kernel minus the trigpoly (chunked phase tables), tapered by
+    (1 - r/rho)^2 — the same formula as nearfield_correction on the radius
+    support, with the ELL layout skipped entirely."""
+    from . import cellgrid as cg
+
+    dev = sten.dev
+    c = dev.c
+    w9 = dev.noffs * c
+    d = sten.Xpad.shape[-1]
+    ncells = dev.ncells
+    nbr_x = cg.stencil_neighbors(dev, sten.Xpad)        # (ncells, 3^d c, d)
+    rho = sten.rho
+    if cell_chunk is None:
+        # bound the trigpoly phase transient (pairs, d, N) at ~200 MB
+        N = b.shape[0]
+        pairs_budget = max(1, 50_000_000 // max(d * N, 1))
+        cell_chunk = max(1, pairs_budget // max(c * w9, 1))
+
+    def one_chunk(args):
+        Xp_c, nb_c, nbm_c = args
+        D = Xp_c[:, :, None, :] - nb_c[:, None, :, :]   # (cc, c, w9, d)
+        r2s = jnp.sum(D * D, axis=3)
+        r2_true = r2s / (scale * scale)
+        phi, dphi_l = _BASE_KERNELS[kind](r2_true, params.l)
+        sets = [b, db_l] if require_grad else [b]
+        tps = _trigpoly_eval_multi(sets, D.reshape(-1, d))
+        r = jnp.sqrt(r2s)
+        w = jnp.square(jnp.maximum(1.0 - r / rho, 0.0))
+        m = nbm_c[:, None, :] & (r2s <= rho * rho)
+        outs = []
+        for src, tp_f in zip([phi, dphi_l][: len(sets)], tps):
+            v = jnp.where(m, (src - tp_f.reshape(r2s.shape)) * w, 0.0)
+            outs.append(v)
+        return tuple(outs)
+
+    nch = -(-ncells // cell_chunk)
+    padc = nch * cell_chunk
+    Xp = jnp.zeros((padc, c, d), sten.Xpad.dtype).at[:ncells].set(sten.Xpad)
+    Nb = jnp.zeros((padc, w9, d), nbr_x.dtype).at[:ncells].set(nbr_x)
+    Nm = jnp.zeros((padc, w9), bool).at[:ncells].set(sten.nbmask)
+    parts = jax.lax.map(
+        one_chunk,
+        (Xp.reshape(nch, cell_chunk, c, d),
+         Nb.reshape(nch, cell_chunk, w9, d),
+         Nm.reshape(nch, cell_chunk, w9)),
+    )
+    mats = []
+    for p in parts:
+        M = p.reshape(padc, c, w9)[:ncells]             # M[cell, i, t*c+j]
+        A = jnp.swapaxes(M.reshape(ncells, c, dev.noffs, c), 1, 2)
+        mats.append(cg.StencilMatrix(A=A))
+    A_k = mats[0]
+    A_l = mats[1] if len(mats) > 1 else None
+    return NfStencilEntry(dev=dev, A_k=A_k, A_l=A_l,
+                          exc_rows=jnp.zeros((1,), jnp.int32),
+                          exc_cols=jnp.zeros((1,), jnp.int32),
+                          exc_v_k=jnp.zeros((1,), A_k.A.dtype),
+                          exc_v_l=(jnp.zeros((1,), A_k.A.dtype)
+                                   if A_l is not None else None))
+
+
+class NfStencilEntry(NamedTuple):
+    """Per-window embedded near-field operator (lives in PackedNDFT.nf*).
+
+    exc_*: the pattern's few out-of-stencil edges (cellgrid.StencilEmbed
+    exception list) applied as a tiny symmetric COO side term."""
+
+    dev: object            # cellgrid.CellGridDev
+    A_k: object            # StencilMatrix of the kernel correction
+    A_l: object            # StencilMatrix of the dk/dl correction (or None)
+    exc_rows: object
+    exc_cols: object
+    exc_v_k: object        # (ne,) exception values (kernel set)
+    exc_v_l: object        # (ne,) or None
+
+
+def _nf_stencil_from_pattern(x_np, idx, mask, *, target_occupancy=None,
+                             max_width_factor: int = 32):
+    """HOST: build (CellGridDev, StencilEmbed) for one window's pattern.
+
+    x_np: (n, d) scaled window points (numpy); idx/mask: the window's
+    lower-tri KNN pattern in user order.  The pitch comes from the
+    occupancy target; pattern edges longer than one cell hop (the early
+    rows of a nearest-PRECEDING pattern) ride the exception list.  Returns
+    None when the grid degenerates (clustered/duplicate data) or the
+    stencil row width exceeds max_width_factor * lfil — caller keeps the
+    ELL apply."""
+    from . import cellgrid as cg
+
+    idx = np.asarray(idx)
+    mask = np.asarray(mask)
+    lfil = idx.shape[1]
+    occ = target_occupancy if target_occupancy is not None else lfil
+    grid = cg.build_cell_grid(x_np, target_occupancy=float(occ))
+    if grid is None or grid.noffs * grid.c > max_width_factor * lfil:
+        return None
+    emb = cg.ell_stencil_embed_plan(grid, idx, mask, sorted_idx=False)
+    if emb is None:
+        return None
+    return NfStencil(dev=cg.to_device(grid), emb=emb)
+
+
+def _radius_stencil_one(x_np, lfil_hint: int, *, max_width_factor: int = 32):
+    """HOST: (grid pattern, NfStencil) for one window via the radius support.
+
+    The near-field support is RADIUS-based (the reference's eps_I
+    semantics, nfft_interface.c:18-27) and derived from the cell grid
+    itself, so it is symmetric by construction and exception-free: pitch h
+    sized so the in-radius degree ~ lfil_hint, rho = h.  Returns
+    (idx, mask, NfStencil) or None on degenerate data."""
+    from . import cellgrid as cg
+
+    occ = max(4.0, lfil_hint / 3.0)
+    grid = cg.build_cell_grid(x_np, target_occupancy=occ)
+    if grid is None or grid.noffs * grid.c > max_width_factor * max(lfil_hint, 8):
+        return None
+    idx, mask = cg.radius_pattern(grid, x_np)
+    if idx.shape[1] > max_width_factor * max(lfil_hint, 8):
+        return None
+    return idx, mask, grid
+
+
+def _nf_direct_values(sten: NfStencilDirect, kind: str, params, scale,
+                      b, db_l, require_grad: bool,
+                      cell_chunk: Optional[int] = None):
+    """DEVICE (jit-safe): StencilMatrix value sets for a direct stencil.
+
+    Per cell chunk: pair offsets from the padded coords via shifted slices,
+    exact kernel minus the trigpoly (chunked phase tables), tapered by
+    (1 - r/rho)^2 — the same formula as nearfield_correction on the radius
+    support, with the ELL layout skipped entirely."""
+    from . import cellgrid as cg
+
+    dev = sten.dev
+    c = dev.c
+    w9 = dev.noffs * c
+    d = sten.Xpad.shape[-1]
+    ncells = dev.ncells
+    nbr_x = cg.stencil_neighbors(dev, sten.Xpad)        # (ncells, 3^d c, d)
+    rho = sten.rho
+    if cell_chunk is None:
+        # bound the trigpoly phase transient (pairs, d, N) at ~200 MB
+        N = b.shape[0]
+        pairs_budget = max(1, 50_000_000 // max(d * N, 1))
+        cell_chunk = max(1, pairs_budget // max(c * w9, 1))
+
+    def one_chunk(args):
+        Xp_c, nb_c, nbm_c = args
+        D = Xp_c[:, :, None, :] - nb_c[:, None, :, :]   # (cc, c, w9, d)
+        r2s = jnp.sum(D * D, axis=3)
+        r2_true = r2s / (scale * scale)
+        phi, dphi_l = _BASE_KERNELS[kind](r2_true, params.l)
+        sets = [b, db_l] if require_grad else [b]
+        tps = _trigpoly_eval_multi(sets, D.reshape(-1, d))
+        r = jnp.sqrt(r2s)
+        w = jnp.square(jnp.maximum(1.0 - r / rho, 0.0))
+        m = nbm_c[:, None, :] & (r2s <= rho * rho)
+        outs = []
+        for src, tp_f in zip([phi, dphi_l][: len(sets)], tps):
+            v = jnp.where(m, (src - tp_f.reshape(r2s.shape)) * w, 0.0)
+            outs.append(v)
+        return tuple(outs)
+
+    nch = -(-ncells // cell_chunk)
+    padc = nch * cell_chunk
+    Xp = jnp.zeros((padc, c, d), sten.Xpad.dtype).at[:ncells].set(sten.Xpad)
+    Nb = jnp.zeros((padc, w9, d), nbr_x.dtype).at[:ncells].set(nbr_x)
+    Nm = jnp.zeros((padc, w9), bool).at[:ncells].set(sten.nbmask)
+    parts = jax.lax.map(
+        one_chunk,
+        (Xp.reshape(nch, cell_chunk, c, d),
+         Nb.reshape(nch, cell_chunk, w9, d),
+         Nm.reshape(nch, cell_chunk, w9)),
+    )
+    mats = []
+    for p in parts:
+        M = p.reshape(padc, c, w9)[:ncells]             # M[cell, i, t*c+j]
+        A = jnp.swapaxes(M.reshape(ncells, c, dev.noffs, c), 1, 2)
+        mats.append(cg.StencilMatrix(A=A))
+    A_k = mats[0]
+    A_l = mats[1] if len(mats) > 1 else None
+    return NfStencilEntry(dev=dev, A_k=A_k, A_l=A_l,
+                          exc_rows=jnp.zeros((1,), jnp.int32),
+                          exc_cols=jnp.zeros((1,), jnp.int32),
+                          exc_v_k=jnp.zeros((1,), A_k.A.dtype),
+                          exc_v_l=(jnp.zeros((1,), A_k.A.dtype)
+                                   if A_l is not None else None))
+
+
+class NfStencilEntry(NamedTuple):
+    """Per-window embedded near-field operator (lives in PackedNDFT.nf*).
+
+    exc_*: the pattern's few out-of-stencil edges (cellgrid.StencilEmbed
+    exception list) applied as a tiny symmetric COO side term."""
+
+    dev: object            # cellgrid.CellGridDev
+    A_k: object            # StencilMatrix of the kernel correction
+    A_l: object            # StencilMatrix of the dk/dl correction (or None)
+    exc_rows: object
+    exc_cols: object
+    exc_v_k: object        # (ne,) exception values (kernel set)
+    exc_v_l: object        # (ne,) or None
+
+
+def _nf_stencil_from_pattern(x_np, idx, mask, *, target_occupancy=None,
+                             max_width_factor: int = 32):
+    """HOST: build (CellGridDev, StencilEmbed) for one window's pattern.
+
+    x_np: (n, d) scaled window points (numpy); idx/mask: the window's
+    lower-tri KNN pattern in user order.  The pitch comes from the
+    occupancy target; pattern edges longer than one cell hop (the early
+    rows of a nearest-PRECEDING pattern) ride the exception list.  Returns
+    None when the grid degenerates (clustered/duplicate data) or the
+    stencil row width exceeds max_width_factor * lfil — caller keeps the
+    ELL apply."""
+    from . import cellgrid as cg
+
+    idx = np.asarray(idx)
+    mask = np.asarray(mask)
+    lfil = idx.shape[1]
+    occ = target_occupancy if target_occupancy is not None else lfil
+    grid = cg.build_cell_grid(x_np, target_occupancy=float(occ))
+    if grid is None or grid.noffs * grid.c > max_width_factor * lfil:
+        return None
+    emb = cg.ell_stencil_embed_plan(grid, idx, mask, sorted_idx=False)
+    if emb is None:
+        return None
+    return NfStencil(dev=cg.to_device(grid), emb=emb)
+
+
+def additive_nearfield_stencil_direct(geom, kind: str, nearfield_lfil=None,
+                                      *, max_width_factor: int = 48):
+    """HOST: per-group tuples of NfStencilDirect for d <= 2 windows.
+
+    nearfield_lfil sizes the radius via the cell occupancy (occ ~ lfil/3
+    so the in-radius degree ~ lfil).  Returns None when any window's grid
+    degenerates (global decision).  d=3 groups get None entries (they ride
+    the table path with ELL near-field)."""
+    from . import cellgrid as cg
+
+    out = []
+    for dw, order, bg in geom.groups:
+        n = bg.x.shape[1]
+        d = bg.x.shape[2]
+        lfil = _resolve_nf_lfil(kind, nearfield_lfil, n, d)
+        if lfil == 0 or d == 3:
+            out.append(None)
+            continue
+        entries = []
+        for w in range(bg.x.shape[0]):
+            x_np = np.asarray(bg.x[w])
+            occ = max(4.0, lfil / 3.0)
+            grid = cg.build_cell_grid(x_np, target_occupancy=occ)
+            if grid is None or grid.noffs * grid.c > max_width_factor * max(lfil, 8):
+                return None
+            dev = cg.to_device(grid)
+            Xpad = jnp.stack(
+                [cg.pad_cells_user(dev, bg.x[w][:, j]) for j in range(d)],
+                axis=-1,
+            )
+            nbmask = cg.stencil_neighbors(
+                dev, dev.padmask.astype(jnp.float32)
+            ) > 0.5
+            entries.append(NfStencilDirect(dev=dev, Xpad=Xpad, nbmask=nbmask,
+                                           rho=float(grid.h)))
+        out.append(tuple(entries))
+    return tuple(out)
+
+
+def _nf_direct_values(sten: NfStencilDirect, kind: str, params, scale,
+                      b, db_l, require_grad: bool,
+                      cell_chunk: Optional[int] = None):
+    """DEVICE (jit-safe): StencilMatrix value sets for a direct stencil.
+
+    Per cell chunk: pair offsets from the padded coords via shifted slices,
+    exact kernel minus the trigpoly (chunked phase tables), tapered by
+    (1 - r/rho)^2 — the same formula as nearfield_correction on the radius
+    support, with the ELL layout skipped entirely."""
+    from . import cellgrid as cg
+
+    dev = sten.dev
+    c = dev.c
+    w9 = dev.noffs * c
+    d = sten.Xpad.shape[-1]
+    ncells = dev.ncells
+    nbr_x = cg.stencil_neighbors(dev, sten.Xpad)        # (ncells, 3^d c, d)
+    rho = sten.rho
+    if cell_chunk is None:
+        # bound the trigpoly phase transient (pairs, d, N) at ~200 MB
+        N = b.shape[0]
+        pairs_budget = max(1, 50_000_000 // max(d * N, 1))
+        cell_chunk = max(1, pairs_budget // max(c * w9, 1))
+
+    def one_chunk(args):
+        Xp_c, nb_c, nbm_c = args
+        D = Xp_c[:, :, None, :] - nb_c[:, None, :, :]   # (cc, c, w9, d)
+        r2s = jnp.sum(D * D, axis=3)
+        r2_true = r2s / (scale * scale)
+        phi, dphi_l = _BASE_KERNELS[kind](r2_true, params.l)
+        sets = [b, db_l] if require_grad else [b]
+        tps = _trigpoly_eval_multi(sets, D.reshape(-1, d))
+        r = jnp.sqrt(r2s)
+        w = jnp.square(jnp.maximum(1.0 - r / rho, 0.0))
+        m = nbm_c[:, None, :] & (r2s <= rho * rho)
+        outs = []
+        for src, tp_f in zip([phi, dphi_l][: len(sets)], tps):
+            v = jnp.where(m, (src - tp_f.reshape(r2s.shape)) * w, 0.0)
+            outs.append(v)
+        return tuple(outs)
+
+    nch = -(-ncells // cell_chunk)
+    padc = nch * cell_chunk
+    Xp = jnp.zeros((padc, c, d), sten.Xpad.dtype).at[:ncells].set(sten.Xpad)
+    Nb = jnp.zeros((padc, w9, d), nbr_x.dtype).at[:ncells].set(nbr_x)
+    Nm = jnp.zeros((padc, w9), bool).at[:ncells].set(sten.nbmask)
+    parts = jax.lax.map(
+        one_chunk,
+        (Xp.reshape(nch, cell_chunk, c, d),
+         Nb.reshape(nch, cell_chunk, w9, d),
+         Nm.reshape(nch, cell_chunk, w9)),
+    )
+    mats = []
+    for p in parts:
+        M = p.reshape(padc, c, w9)[:ncells]             # M[cell, i, t*c+j]
+        A = jnp.swapaxes(M.reshape(ncells, c, dev.noffs, c), 1, 2)
+        mats.append(cg.StencilMatrix(A=A))
+    A_k = mats[0]
+    A_l = mats[1] if len(mats) > 1 else None
+    return NfStencilEntry(dev=dev, A_k=A_k, A_l=A_l,
+                          exc_rows=jnp.zeros((1,), jnp.int32),
+                          exc_cols=jnp.zeros((1,), jnp.int32),
+                          exc_v_k=jnp.zeros((1,), A_k.A.dtype),
+                          exc_v_l=(jnp.zeros((1,), A_k.A.dtype)
+                                   if A_l is not None else None))
 
 
 class NfStencilEntry(NamedTuple):
@@ -624,50 +1154,6 @@ def additive_nearfield_radius_stencils(geom, kind: str, nearfield_lfil=None):
         pats_out.append((jnp.asarray(idxs), jnp.asarray(masks), True))
         stens_out.append(tuple(stens))
     return tuple(pats_out), tuple(stens_out)
-
-
-def _nf_embed_sym(sten: NfStencil, vals, require_grad: bool,
-                  sym_pattern: bool = True):
-    """Embed near-field value rows into a symmetric stencil operator.
-
-    vals: (val, dval) value rows.  sym_pattern=True (the radius support):
-    every undirected edge is already present in both rows and self once —
-    the embed IS the symmetric matrix.  sym_pattern=False (lower-tri rows,
-    self at slot -1): the matrix is A_half + A_half' with the self slot
-    pre-halved — one shared-one-hot embed + one dense shifted-slice
-    transpose, no scatters.  Out-of-stencil edges become the tiny COO
-    exception term (values fetched with one flat gather)."""
-    from . import cellgrid as cg
-
-    val, dval = vals
-    if sym_pattern:
-        sets = [val]
-        if require_grad and dval is not None:
-            sets.append(dval)
-        mats = cg.stencil_embed(sten.dev, sten.emb, jnp.stack(sets))
-        outs = list(mats)
-    else:
-        sets = [val.at[:, -1].mul(0.5)]
-        if require_grad and dval is not None:
-            sets.append(dval.at[:, -1].mul(0.5))
-        mats = cg.stencil_embed(sten.dev, sten.emb, jnp.stack(sets))
-        outs = []
-        for m in mats:
-            mt = cg.stencil_transpose(sten.dev, m)
-            outs.append(cg.StencilMatrix(A=m.A + mt.A))
-    A_k = outs[0]
-    A_l = outs[1] if len(outs) > 1 else None
-    emb = sten.emb
-    flat = emb.exc_rows * emb.lfil + emb.exc_slot
-
-    def exc_vals(v):
-        return jnp.where(emb.exc_valid, v.reshape(-1)[flat], 0.0)
-
-    exc_v_k = exc_vals(val)
-    exc_v_l = exc_vals(dval) if (require_grad and dval is not None) else None
-    return NfStencilEntry(dev=sten.dev, A_k=A_k, A_l=A_l,
-                          exc_rows=emb.exc_rows, exc_cols=emb.exc_cols,
-                          exc_v_k=exc_v_k, exc_v_l=exc_v_l)
 
 
 def _nf_exc_apply(trip: NfStencilEntry, x, which: str):
@@ -1414,29 +1900,30 @@ def packed_ndft_plan(plan: AdditiveFastsumPlan, *, table_dtype=None,
     (xT, pairs, singles, w2, dw2, w1, dw1, nf2, nf1, rest) = _packed_layout(plan)
 
     if nf_stencils is not None:
-        st2, st1 = [], []
+        st2, st1, meta2, meta1 = [], [], [], []
+        kind = None
         gi = 0
         for _dw, order, plans in plan.groups:
             dw = plans.geom.x.shape[2]
+            kind = plans.kind
             group_st = nf_stencils[gi] if gi < len(nf_stencils) else None
             gi += 1
             if dw == 3:
                 continue
             Wg = plans.w.shape[0]
-            tgt = st2 if dw == 2 else st1
+            tgt, mtgt = (st2, meta2) if dw == 2 else (st1, meta1)
             for k in range(Wg):
                 tgt.append(None if group_st is None else group_st[k])
-        sym_pat = plan.groups[0][2].nf_sym
-        nf2 = [
-            trip if (trip is None or st is None)
-            else _nf_embed_sym(st, trip[1:], nf_require_grad, sym_pat)
-            for trip, st in zip(nf2, st2)
-        ]
-        nf1 = [
-            trip if (trip is None or st is None)
-            else _nf_embed_sym(st, trip[1:], nf_require_grad, sym_pat)
-            for trip, st in zip(nf1, st1)
-        ]
+                mtgt.append((plans.b[k], plans.db_l[k], plans.geom.scale[k]))
+        def conv(trip, st, meta):
+            if st is None:
+                return trip
+            b_w, db_w, sc_w = meta
+            return _nf_direct_values(st, kind, plan.params, sc_w,
+                                     b_w, db_w, nf_require_grad)
+
+        nf2 = [conv(t, s, m) for t, s, m in zip(nf2, st2, meta2)]
+        nf1 = [conv(t, s, m) for t, s, m in zip(nf1, st1, meta1)]
     P_full = None
     n = None
     for _dw, order, plans in plan.groups:

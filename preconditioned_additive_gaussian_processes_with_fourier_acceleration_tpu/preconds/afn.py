@@ -293,7 +293,9 @@ def afn_plan(
     # quantile (equal-mass) binning: PCA projections of high-d data and
     # real datasets are far from uniform density; uniform pitch overflows
     # its capacity guard ~8x there (.r5 d=10 probe)
-    grid = cg.build_cell_grid(Xproj, target_occupancy=max(8.0, 0.75 * lfil),
+    # occupancy >= 1.5*lfil so a row's lfil nearest (preceding) neighbors
+    # fit one cell hop — occ=0.75*lfil left 21k out-of-stencil edges at 3e4
+    grid = cg.build_cell_grid(Xproj, target_occupancy=max(8.0, 1.5 * lfil),
                               binning="quantile")
     if grid is not None:
         order = grid.perm.astype(np.int64)
@@ -305,23 +307,21 @@ def afn_plan(
         )
     # pattern space: full-d coordinates when d <= 3, the projection above it
     Xpat = np.asarray(X)[perm[k:]] if d_amb <= 3 else Xproj
-    if Xpat.shape[0] > 200_000:
-        # host-loop chunks: the single-jit KNN's ~1000-step lax.map crashed
-        # the tunneled TPU worker at n=1e6 (r4)
-        from ..ops.knn import knn_pattern_hostloop
+    # host KDTree: milliseconds where the jitted blocked-GEMM KNN costs
+    # minutes on CPU (170 s at 3e4) or a device round-trip (ops/knn.py)
+    from ..ops.knn import knn_pattern_host
 
-        idx, mask = knn_pattern_hostloop(jnp.asarray(Xpat), lfil)
-        pattern = (np.asarray(idx), np.asarray(mask))
-    else:
-        idx, mask = jax.jit(lambda Xv: knn_pattern(Xv, lfil))(jnp.asarray(Xpat))
-        pattern = (np.asarray(idx), np.asarray(mask))
+    pattern = knn_pattern_host(Xpat, lfil)
     if grid is not None:
         # exception budget: the COO side term costs ~nothing per apply
         # (element ops on a few thousand entries); early cell-rows of the
         # preceding-KNN pattern legitimately produce O(n/row) of them
+        # budget ~3% of pattern entries: the COO term costs element ops on
+        # ne entries (~0.1 ms at 1e4) — far below one ELL gather; a pattern
+        # that is GROSSLY nonlocal (>>3%) falls back instead
         semb_ = cg.ell_stencil_embed_plan(
             grid, pattern[0], pattern[1], sorted_idx=True,
-            max_exceptions=max(4096, Xpat.shape[0] // 16),
+            max_exceptions=max(4096, Xpat.shape[0] * lfil // 32),
         )
         if semb_ is not None:
             sdev, semb = cg.to_device(grid), semb_

@@ -151,23 +151,26 @@ def main():
         tdt = jnp.bfloat16 if args.table_dtype == "bfloat16" else None
         geom = jax.jit(lambda Xv: fs.additive_fastsum_geometry(
             Xv, windows, N=args.N, table_dtype=tdt))(X)
-        # radius-stencil near-field (host, once per dataset): symmetric
-        # support, tapered values, gather-free stencil apply (r5)
-        nf_pats = nf_stens = None
-        if fs._resolve_nf_lfil(args.kernel, args.nf_lfil, n, 2) > 0:
-            nf_pats, nf_stens = fs.additive_nearfield_radius_stencils(
-                geom, args.kernel, args.nf_lfil
-            )
-            if nf_pats is None:
-                print("radius stencil degenerate; ELL near-field", flush=True)
-        plan = jax.jit(
-            lambda g, p: fs.additive_fastsum_coeffs(
-                args.kernel, p, g, psd_clip=True,
-                nearfield_lfil=args.nf_lfil, nf_patterns=nf_pats)
-        )(geom, params)
         use_stream = args.engine == "stream" or (
             args.engine == "auto" and jax.default_backend() not in ("cpu",)
         )
+        # DIRECT radius-stencil near-field (host grids once per dataset):
+        # values computed straight in stencil layout, gather-free apply (r5)
+        nf_stens = None
+        nf_lfil_build = args.nf_lfil
+        if use_stream and fs._resolve_nf_lfil(args.kernel, args.nf_lfil, n, 2) > 0:
+            nf_stens = fs.additive_nearfield_stencil_direct(
+                geom, args.kernel, args.nf_lfil
+            )
+            if nf_stens is None:
+                print("nf stencil degenerate; ELL near-field", flush=True)
+            else:
+                nf_lfil_build = 0
+        plan = jax.jit(
+            lambda g, p: fs.additive_fastsum_coeffs(
+                args.kernel, p, g, psd_clip=True,
+                nearfield_lfil=nf_lfil_build)
+        )(geom, params)
         if use_stream:
             pn = jax.jit(
                 lambda pl_: fs.packed_ndft_plan(pl_, table_dtype=tdt,
