@@ -1672,6 +1672,17 @@ def _packed_layout(plan: AdditiveFastsumPlan):
     w2, dw2, nf2 = [], [], []
     w1, dw1, nf1 = [], [], []
     rest = []
+    # the packed appliers carry ONE static nf_sym flag; enforce the global
+    # symmetrization invariant here instead of silently mis-applying a
+    # mixed-form plan (advisor r4)
+    syms = {
+        plans.nf_sym for _, _, plans in plan.groups if plans.nf_val is not None
+    }
+    if len(syms) > 1:
+        raise ValueError(
+            "mixed near-field pattern forms across window groups "
+            "(nf_sym must be global — rebuild the plan with one policy)"
+        )
     for _dw, order, plans in plan.groups:
         # NOTE: _dw is a pytree LEAF (traced when the plan crosses a jit
         # boundary); the static window dim comes from the geometry shape.

@@ -21,6 +21,12 @@ def stable_chol(K, extra_shift: float = 0.0):
     and the first finite factor wins — the stabilized-Nyström math absorbs
     the shift (ran_setup.m's  S <- max(sigma^2 - nu, 0)).
     Returns (L, nu).
+
+    NOTE: the escalation runs in a lax.while_loop, which is not
+    reverse-mode differentiable — in-repo gradients are analytic (the GP
+    loss estimator), so nothing differentiates through setup; external
+    callers wanting jax.grad through a Cholesky-based setup should
+    differentiate the factor's consumer, not this function (advisor r4).
     """
     n = K.shape[0]
     fro = jnp.linalg.norm(K)

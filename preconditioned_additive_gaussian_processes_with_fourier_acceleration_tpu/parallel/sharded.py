@@ -327,19 +327,26 @@ def sharded_nystrom_setup(mesh: Mesh, kind: str, params, X, Xk,
 
 def _plan_specs(plan, axis_name: str):
     """PartitionSpecs for an AdditiveFastsumPlan: point-sized leaf axes are
-    sharded, everything else replicated.  The points axis is identified by
-    dimension == n (the first match); coefficient/weight leaves (N- and
-    P-sized) stay replicated."""
-    n = plan.groups[0][2].geom.x.shape[1]
+    sharded, everything else replicated.  Point axes are identified
+    STRUCTURALLY by field name (geom.x / geom.Tcs / nf_* all carry points
+    on their second-to-last axis) — matching by `dimension == n` could
+    shard a mode/table leaf whose size coincides with n (advisor r4)."""
+    point_fields = {"x", "Tcs", "nf_idx", "nf_val", "nf_dval"}
 
-    def spec(leaf):
+    def spec(path, leaf):
         shape = getattr(leaf, "shape", ())
-        for ax, s in enumerate(shape):
-            if s == n and n > 1:
-                return P(*([None] * ax + [axis_name] + [None] * (len(shape) - ax - 1)))
+        name = None
+        for entry in reversed(path):
+            if hasattr(entry, "name"):
+                name = entry.name
+                break
+        if name in point_fields and len(shape) >= 2:
+            ax = len(shape) - 2
+            return P(*([None] * ax + [axis_name] +
+                       [None] * (len(shape) - ax - 1)))
         return P()
 
-    return jax.tree_util.tree_map(spec, plan)
+    return jax.tree_util.tree_map_with_path(spec, plan)
 
 
 def sharded_stream_ops(mesh: Mesh, plan, *, table_dtype=None, block: int = 2048,

@@ -88,25 +88,24 @@ def make_sharded_train_step(
     if precond == "afn" and afn_plan is None:
         raise ValueError("precond='afn' needs afn_plan (preconds.afn.afn_plan)")
 
-    def _nf_lfil(n, d):
-        if nearfield_lfil is not None:
-            return nearfield_lfil
-        return fs._resolve_nf_lfil(kernel, None, n, d)
-
     def loss_step(raw, X, y, probes):
         n = X.shape[0]
         geom = fs.additive_fastsum_geometry(X, windows, N=fastsum_N)
-        nf = _nf_lfil(n, 2)
-        nf_pats = (
-            fs.additive_nearfield_patterns(kernel, geom, nf) if nf > 0 else None
-        )
+        # per-group lfil resolution: additive_nearfield_patterns derives
+        # each window's dimension itself (a hardcoded d=2 sized 1-D/3-D
+        # window corrections wrongly — advisor r4); groups whose resolved
+        # lfil is 0 keep pattern None, and nearfield_lfil=0 below stops
+        # coeffs from re-adding an auto pattern for them
+        nf_pats = fs.additive_nearfield_patterns(kernel, geom, nearfield_lfil)
+        if all(p is None for p in nf_pats):
+            nf_pats = None
         # real random landmarks (ref TEST4/foo.cpp:261-266), not first-k
         perm = rand_perm(jax.random.PRNGKey(seed), n, nys_rank)
 
         def build_ops(params):
             plan = fs.additive_fastsum_coeffs(
                 kernel, params, geom, oversample=oversample,
-                nearfield_lfil=nf, nf_patterns=nf_pats,
+                nearfield_lfil=0, nf_patterns=nf_pats,
             )
             if use_stream:
                 from .sharded import sharded_stream_ops
