@@ -1944,12 +1944,19 @@ def packed_ndft_plan(plan: AdditiveFastsumPlan, *, table_dtype=None,
     P = P_full - 1 if edge_trim else P_full
 
     # auto block: the stream kernels double-buffer (rows, block) table
-    # slabs in VMEM; at large P (matern12 quality mode N>=128) the default
+    # slabs in VMEM.  At large P (matern12 quality mode N>=128) the default
     # 2048 block overflows the 16 MB scoped budget — halve until the slab
-    # pair fits ~6 MB (leaves room for the mode accumulators/G sets)
+    # pair fits ~6 MB; conversely SMALL-P bf16 tables underfill it, and the
+    # ~49 grid steps of a 2048 block at n=1e5 leave the multi-RHS matvec
+    # scheduling-bound (ROOFLINE.md r4 addendum) — grow the block while the
+    # slab pair stays under budget.
+    # (growing the block for small-P bf16 configs was tried and OOMs VMEM:
+    # the forward kernel's f32 upcast of the L0 operand doubles the slab —
+    # ~25 MB at block 8192 / rows 320, .r5_loss_profile3.log)
     if xT is not None:
+        bytes_el = 2 if table_dtype == jnp.bfloat16 else 4
         rows = xT.shape[0] * 2 * P
-        while block > 256 and rows * block * 8 > 6_000_000:
+        while block > 256 and rows * block * bytes_el * 2 > 9_000_000:
             block //= 2
 
     def trim2(W):
@@ -2071,13 +2078,16 @@ def packed_ndft_matvec_batch(pn: PackedNDFT, Xb, *, prec: str = "highest",
             pn.Tp, Xb, P=pn.P, pairs=pn.pairs, singles=pn.singles,
             block=pn.block, interpret=interpret, prec=prec, phase_gen=gen,
         )
+        # stacked form: ONE vmapped combine per window covers all probes
+        # (the per-probe python loop emitted nv x nw tiny op groups that
+        # left the SLQ loss step scheduling-bound, ROOFLINE.md r4)
         G2_sets = [
-            [_folded_combine(pn.w2[i], A2[i][r], 2) for i in range(len(pn.pairs))]
-            for r in range(nv)
+            jax.vmap(lambda A, i=i: _folded_combine(pn.w2[i], A, 2))(A2[i])
+            for i in range(len(pn.pairs))
         ]
         G1_sets = [
-            [_folded_combine(pn.w1[i], A1[i][r], 1) for i in range(len(pn.singles))]
-            for r in range(nv)
+            jax.vmap(lambda A, i=i: _folded_combine(pn.w1[i], A, 1))(A1[i])
+            for i in range(len(pn.singles))
         ]
         ys = packed_forward(
             pn.Tp, G2_sets, G1_sets, P=pn.P, pairs=pn.pairs,
@@ -2130,17 +2140,20 @@ def packed_ndft_grad_matvec_batch(pn: PackedNDFT, Xb, *, prec: str = "highest",
             pn.Tp, Xb, P=pn.P, pairs=pn.pairs, singles=pn.singles,
             block=pn.block, interpret=interpret, prec=prec, phase_gen=gen,
         )
-        G2_sets, G1_sets = [], []
-        for r in range(nv):
-            for wsel2, wsel1 in ((pn.w2, pn.w1), (pn.dw2, pn.dw1)):
-                G2_sets.append(
-                    [_folded_combine(wsel2[i], A2[i][r], 2)
-                     for i in range(len(pn.pairs))]
-                )
-                G1_sets.append(
-                    [_folded_combine(wsel1[i], A1[i][r], 1)
-                     for i in range(len(pn.singles))]
-                )
+        # stacked sets in (probe0-K, probe0-dl, probe1-K, ...) order: one
+        # vmapped combine per (window, weight family) covers all probes
+        def _interleave2(i):
+            GK = jax.vmap(lambda A: _folded_combine(pn.w2[i], A, 2))(A2[i])
+            GL = jax.vmap(lambda A: _folded_combine(pn.dw2[i], A, 2))(A2[i])
+            return jnp.stack([GK, GL], axis=1).reshape(2 * nv, *GK.shape[1:])
+
+        def _interleave1(i):
+            gK = jax.vmap(lambda A: _folded_combine(pn.w1[i], A, 1))(A1[i])
+            gL = jax.vmap(lambda A: _folded_combine(pn.dw1[i], A, 1))(A1[i])
+            return jnp.stack([gK, gL], axis=1).reshape(2 * nv, *gK.shape[1:])
+
+        G2_sets = [_interleave2(i) for i in range(len(pn.pairs))]
+        G1_sets = [_interleave1(i) for i in range(len(pn.singles))]
         ys = packed_forward(
             pn.Tp, G2_sets, G1_sets, P=pn.P, pairs=pn.pairs,
             singles=pn.singles, block=pn.block, interpret=interpret,

@@ -210,10 +210,16 @@ def _adjoint_kernel(P, pairs, singles, groups, nv, prec, phase_gen,
         def _():
             out_ref[:, :] = jnp.zeros_like(out_ref)
 
-        for r in range(nv):
-            a = a_all[r : r + 1, :]                          # (1, B)
-            M = _dot(L0 * a, L1, (((1,), (1,)), ((), ())), precision)
-            out_ref[r * rows : (r + 1) * rows, :] += M.astype(out_ref.dtype)
+        # ONE (nv*rows, B) x (B, rows) GEMM for all probes: the per-probe
+        # micro-GEMM loop left the loss step kernel-scheduling-bound
+        # (~2.1 ms vs the 0.2 ms byte floor at n=1e5, ROOFLINE.md r4
+        # addendum); stacking the alpha-scaled operands along rows turns
+        # nv dispatches into one MXU-saturating dot.
+        A_ops = jnp.concatenate(
+            [L0 * a_all[r : r + 1, :] for r in range(nv)], axis=0
+        )
+        M = _dot(A_ops, L1, (((1,), (1,)), ((), ())), precision)
+        out_ref[:, :] += M.astype(out_ref.dtype)
 
     if singles:
         out_ref = out_refs[len(groups)]
@@ -354,9 +360,9 @@ def packed_adjoint(xT, alpha, *, P: int, pairs: tuple, singles: tuple = (),
 
 def _forward_kernel(P, pairs, singles, groups, nsets, prec, phase_gen,
                     src_ref, *refs):
-    # refs: [G_g per set x group] + [B1 per set (if singles)] + y_refs
-    n_g_in = nsets * len(groups)
-    n_s_in = nsets if singles else 0
+    # refs: [stacked G per group] + [stacked B1 (if singles)] + y_refs
+    n_g_in = len(groups)
+    n_s_in = 1 if singles else 0
     in_refs = refs[: n_g_in + n_s_in]
     y_refs = refs[n_g_in + n_s_in :]
     precision = _precision(prec)
@@ -379,15 +385,27 @@ def _forward_kernel(P, pairs, singles, groups, nsets, prec, phase_gen,
         Ls = jnp.concatenate([T6[j] for j in singles], axis=0)
     tdt = T6.dtype
 
+    # merged weight-set GEMM per group: the caller hands ONE
+    # (nsets*rows, rows) stacked input per group, so all sets run as one
+    # MXU-saturating dot instead of nsets micro-GEMMs (the SLQ loss step's
+    # named lever, ROOFLINE.md r4 addendum); the per-set row reductions
+    # then slice the stacked result.
+    accs = [jnp.zeros((1, B), jnp.float32) for _ in range(nsets)]
+    for gi in range(len(groups)):
+        rows = L1s[gi].shape[0]
+        Gstack = in_refs[gi][:, :].astype(tdt)           # (nsets*rows, rows)
+        Zs = _dot(Gstack, L1s[gi], (((1,), (0,)), ((), ())), precision)
+        for s in range(nsets):
+            accs[s] += jnp.sum(
+                L0s[gi] * Zs[s * rows : (s + 1) * rows], axis=0, keepdims=True
+            )
     for s in range(nsets):
-        acc = jnp.zeros((1, B), jnp.float32)
-        for gi in range(len(groups)):
-            G = in_refs[s * len(groups) + gi][:, :].astype(tdt)
-            Z = _dot(G, L1s[gi], (((1,), (0,)), ((), ())), precision)
-            acc += jnp.sum(L0s[gi] * Z, axis=0, keepdims=True)
+        acc = accs[s]
         if singles:
-            bvec = in_refs[n_g_in + s][:, :].astype(jnp.float32)  # (rows1, 1)
-            acc += jnp.sum(Ls.astype(jnp.float32) * bvec, axis=0, keepdims=True)
+            bvec = in_refs[n_g_in][:, s : s + 1].astype(jnp.float32)
+            acc = acc + jnp.sum(
+                Ls.astype(jnp.float32) * bvec, axis=0, keepdims=True
+            )
         y_refs[s][:, :] = acc.astype(y_refs[s].dtype)
 
 
@@ -428,27 +446,61 @@ def packed_forward(xT, G2_sets, G1_sets=None, *, P: int, pairs: tuple,
         src_spec = pl.BlockSpec((Dtot, block), lambda i: (0, i))
 
     groups = _group_windows(len(pairs), P)
-    nsets = len(G2_sets) if pairs else len(G1_sets)
+
+    def _norm2(sets):
+        """-> per-window (nsets, 2P, 2P) stacks.
+
+        Accepts the legacy list-of-lists [set][window] or the STACKED form
+        (a flat list of per-window (nsets, 2P, 2P) arrays — structurally a
+        list whose entries are arrays, not lists) that batched callers
+        build with ONE vmapped combine per window."""
+        if sets and not isinstance(sets[0], (list, tuple)):
+            return list(sets)
+        return [
+            jnp.stack([sets[s][w] for s in range(len(sets))])
+            for w in range(len(pairs))
+        ]
+
+    def _norm1(sets):
+        if sets and not isinstance(sets[0], (list, tuple)):
+            return list(sets)
+        return [
+            jnp.stack([sets[s][k] for s in range(len(sets))])
+            for k in range(len(singles))
+        ]
+
+    G2w = _norm2(G2_sets) if pairs else []
+    G1w = _norm1(G1_sets) if singles else []
+    nsets = G2w[0].shape[0] if G2w else G1w[0].shape[0]
 
     inputs = [src]
     in_specs = [src_spec]
-    for s in range(nsets):
-        for g in groups:
-            rows = WR * len(g)
-            Gd = jnp.zeros((rows, rows), dtype)
-            for k, w in enumerate(g):
-                Gd = Gd.at[k * WR : (k + 1) * WR, k * WR : (k + 1) * WR].set(
-                    _pad_G(G2_sets[s][w], P)
-                )
-            inputs.append(Gd)
-            in_specs.append(pl.BlockSpec((rows, rows), lambda i: (0, 0)))
+    # ONE stacked (nsets*rows, rows) input per group: per-window blocks are
+    # placed with a vmapped pad over the (nsets, Wg) leading axes — a
+    # handful of XLA ops instead of nsets x Wg tiny .at updates (the
+    # hundreds of micro-ops that left the SLQ loss step scheduling-bound)
+    for g in groups:
+        rows = WR * len(g)
+        Gw = jnp.stack([G2w[w] for w in g], axis=1)   # (nsets, Wg, 2P, 2P)
+        Gpad = jax.vmap(jax.vmap(lambda G: _pad_G(G, P)))(Gw.astype(dtype))
+        # block-diagonal placement: (nsets, Wg, WR, WR) -> (nsets*rows, rows)
+        eye = jnp.eye(len(g), dtype=dtype)
+        Gd = jnp.einsum("swab,wk->swakb", Gpad, eye).reshape(
+            nsets * rows, rows
+        )
+        inputs.append(Gd)
+        in_specs.append(pl.BlockSpec((nsets * rows, rows), lambda i: (0, 0)))
     if singles:
-        for s in range(nsets):
-            bv = jnp.concatenate(
-                [_pad_g1(G1_sets[s][k], P) for k in range(len(singles))]
-            )
-            inputs.append(bv[:, None])
-            in_specs.append(pl.BlockSpec((WR * len(singles), 1), lambda i: (0, 0)))
+        bstack = jnp.stack([G1w[k] for k in range(len(singles))], axis=1)
+        # (nsets, nsingles, 2P) -> padded (rows1, nsets)
+        bpad = jax.vmap(jax.vmap(lambda gv: _pad_g1(gv, P)))(
+            bstack.astype(dtype)
+        )
+        bv = bpad.reshape(nsets, WR * len(singles)).T
+        inputs.append(bv)
+        in_specs.append(
+            pl.BlockSpec((WR * len(singles), nsets), lambda i: (0, 0))
+        )
 
     y_shapes = [jax.ShapeDtypeStruct((1, npad), dtype) for _ in range(nsets)]
     y_specs = [pl.BlockSpec((1, block), lambda i: (0, i)) for _ in range(nsets)]

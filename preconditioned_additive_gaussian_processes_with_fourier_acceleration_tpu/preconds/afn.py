@@ -71,6 +71,23 @@ class AfnPrecond:
     # gradient extras
     dL11: Optional[jnp.ndarray]    # (3, k, k)
     dK12: Optional[jnp.ndarray]    # (3, k, n2)
+    # inverse permutation: the un-permute runs as a GATHER y[inv_perm]
+    # (0.77 ms at n=1e5 via the broadcast-row path) instead of a scatter
+    # .at[perm].set (2.4 ms, .r5_stencil_probe.log) — the scatter was the
+    # dominant AFN apply cost once the FSAI went stencil
+    inv_perm: Optional[jnp.ndarray] = None
+
+    def _unpermute(self, y):
+        from ..ops.matops import _gather_vec
+
+        if self.inv_perm is not None:
+            return _gather_vec(y, self.inv_perm)
+        return jnp.zeros_like(y).at[self.perm].set(y)
+
+    def _unpermute_cols(self, Y):
+        if self.inv_perm is not None:
+            return Y[self.inv_perm]
+        return jnp.zeros_like(Y).at[self.perm].set(Y)
 
     @property
     def k(self):
@@ -99,15 +116,17 @@ class AfnPrecond:
         return _afn_solve(self, r)
 
     def _solve_impl(self, r):
+        from ..ops.matops import _gather_vec
+
         hm = lambda a, b: jnp.matmul(a, b, precision="highest")
-        x = r[self.perm]
+        x = _gather_vec(r, self.perm)
         k = self.k
         xu, xl = x[:k], x[k:]
         zl = xl - hm(self.K12.T, self._chol_solve(xu))
         yl = self.gs.solve(zl)
         yu = self._chol_solve(xu - hm(self.K12, yl))
         y = jnp.concatenate([yu, yl])
-        return jnp.zeros_like(y).at[self.perm].set(y)
+        return self._unpermute(y)
 
     def solve_batch(self, Rb):
         """(nv, n) batched solves sharing the irregular ops."""
@@ -119,8 +138,7 @@ class AfnPrecond:
         yl = self.gs.solve_batch(zl.T).T           # batched ELL products
         yu = self._chol_solve(xu - hm(self.K12, yl))
         y = jnp.concatenate([yu, yl])              # (n, nv)
-        out = jnp.zeros_like(y).at[self.perm].set(y)   # ONE row-scatter
-        return out.T
+        return self._unpermute_cols(y).T           # ONE row-gather
 
     def logdet(self):
         return 2.0 * (
@@ -186,7 +204,7 @@ class AfnPrecond:
             return jnp.concatenate([yu, yl])
 
         px = jax.vmap(solve_permuted)(dMz)
-        return jax.vmap(lambda y: jnp.zeros_like(y).at[self.perm].set(y))(px)
+        return jax.vmap(self._unpermute)(px)
 
 
 from jax import custom_batching
@@ -480,7 +498,8 @@ def _afn_setup_impl(kind, params, X, plan, require_grad, windows):
                      breakdown=breakdown, **tkw)
 
     return AfnPrecond(
-        perm=perm, L11=L11, K12=K12, GK12=GK12, gs=gs, dL11=dL11, dK12=dK12
+        perm=perm, L11=L11, K12=K12, GK12=GK12, gs=gs, dL11=dL11, dK12=dK12,
+        inv_perm=jnp.argsort(perm).astype(jnp.int32),
     )
 
 
