@@ -457,7 +457,7 @@ def ell_stencil_embed_plan(grid: CellGrid, idx, mask, *,
 
 
 def stencil_embed(dev: CellGridDev, emb: StencilEmbed, val, *,
-                  chunk: int = 8192, out_dtype=None):
+                  chunk: Optional[int] = None, out_dtype=None):
     """DEVICE (jit-safe): ELL values -> StencilMatrix(es).
 
     val: (n, lfil) -> one StencilMatrix; (m, n, lfil) -> list of m matrices
@@ -468,6 +468,11 @@ def stencil_embed(dev: CellGridDev, emb: StencilEmbed, val, *,
     c = dev.c
     width = dev.noffs * c
     ncells = dev.ncells
+    if chunk is None:
+        # bound the one-hot comparison transient (chunk, c, lfil, width+1)
+        # at ~2e8 elements — a fixed 8192 chunk reached 4+ GB at n=1e6
+        # stencil widths and OOM'd HBM (.r5_m12_1e6_a.log)
+        chunk = max(256, int(2e8) // max(c * emb.lfil * (width + 1), 1))
     multi = val.ndim == 3
     if not multi:
         val = val[None]
