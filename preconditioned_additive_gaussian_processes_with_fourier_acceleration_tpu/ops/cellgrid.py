@@ -312,12 +312,16 @@ def stencil_matvec(dev: CellGridDev, sm: StencilMatrix, xs, *,
     c = dev.c
     ncells = dev.ncells
     Ai = jnp.swapaxes(sm.A, 1, 2).reshape(ncells, c, dev.noffs * c)
+    acc = jnp.promote_types(Ai.dtype, jnp.float32)
     if nbr.ndim == 2:
         # broadcast-multiply + reduce (VPU): measured 2x the einsum form on
-        # v5e at this shape (.r5_stencil_probe.log: 0.71 vs 1.54 ms)
-        ypad = jnp.sum(Ai * nbr[:, None, :].astype(Ai.dtype), axis=2)
+        # v5e at this shape (.r5_stencil_probe.log: 0.71 vs 1.54 ms).
+        # Accumulate at least f32 (A may be stored bf16 for footprint; a
+        # bf16 reduction over 3^d*c terms would cost ~1e-1 relative)
+        ypad = jnp.sum(Ai.astype(acc) * nbr[:, None, :].astype(acc), axis=2)
     else:
-        ypad = jnp.einsum("nit,ntv->niv", Ai, nbr.astype(Ai.dtype))
+        ypad = jnp.einsum("nit,ntv->niv", Ai, nbr.astype(Ai.dtype),
+                          preferred_element_type=acc)
     ypad = ypad.astype(xs.dtype)
     return unpad_cells(dev, ypad, user_order=user_order)
 

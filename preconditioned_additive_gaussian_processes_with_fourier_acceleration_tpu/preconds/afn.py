@@ -66,7 +66,8 @@ class AfnPrecond:
     perm: jnp.ndarray              # (n,) FPS-expanded permutation
     L11: jnp.ndarray               # (k, k)
     K12: jnp.ndarray               # (k, n2)
-    GK12: jnp.ndarray              # (k, n2) = L11^{-1} K12
+    GK12: Optional[jnp.ndarray]    # (k, n2) = L11^{-1} K12 (setup-only;
+                                   # dropped at large n to save HBM)
     gs: FsaiPrecond                # FSAI of the implicit Schur kernel (size n2)
     # gradient extras
     dL11: Optional[jnp.ndarray]    # (3, k, k)
@@ -484,11 +485,18 @@ def _afn_setup_impl(kind, params, X, plan, require_grad, windows):
     if getattr(plan, "sdev", None) is not None:
         # embed G into the cell-stencil layout: gather-free G/G' applies
         # (ops/cellgrid.py); out-of-stencil pattern edges ride the tiny
-        # directed COO exception term
+        # directed COO exception term.  At large n the stencil pair is the
+        # dominant factorization footprint (~5.4 GB f32 at n=1e6 rank 600,
+        # which OOM'd the 16 GB chip) — store it bf16 there: the G apply is
+        # a preconditioner apply, where ~1e-2 relative value error costs a
+        # few Krylov iterations, not correctness (exceptions/diag stay f32)
         from ..ops import cellgrid as cg
 
+        sdt = (jnp.bfloat16
+               if (val.dtype == jnp.float32 and idx.shape[0] > 400_000)
+               else None)
         emb = plan.semb
-        sA = cg.stencil_embed(plan.sdev, emb, val)
+        sA = cg.stencil_embed(plan.sdev, emb, val, out_dtype=sdt)
         sAT = cg.stencil_transpose(plan.sdev, sA)
         flat = emb.exc_rows * emb.lfil + emb.exc_slot
         exc_v = jnp.where(emb.exc_valid, val.reshape(-1)[flat], 0.0)
@@ -497,8 +505,14 @@ def _afn_setup_impl(kind, params, X, plan, require_grad, windows):
     gs = FsaiPrecond(idx=idx, mask=mask, val=val, dval=dval,
                      breakdown=breakdown, **tkw)
 
+    # GK12 is a setup-only intermediate (Schur blocks); the apply needs
+    # only K12 + L11.  Keeping the (k, n2) copy costs 2.4 GB at n=1e6
+    # rank 600 — drop it at scale (small-n/debug paths keep it: tests
+    # reconstruct the dense U factor from it)
+    keep_gk = require_grad or idx.shape[0] <= 400_000
     return AfnPrecond(
-        perm=perm, L11=L11, K12=K12, GK12=GK12, gs=gs, dL11=dL11, dK12=dK12,
+        perm=perm, L11=L11, K12=K12, GK12=GK12 if keep_gk else None,
+        gs=gs, dL11=dL11, dK12=dK12,
         inv_perm=jnp.argsort(perm).astype(jnp.int32),
     )
 
