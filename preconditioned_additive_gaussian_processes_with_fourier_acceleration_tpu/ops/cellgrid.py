@@ -294,11 +294,16 @@ def stencil_neighbors(dev: CellGridDev, padded):
 class StencilMatrix:
     """Dense stencil storage of a cell-local sparse matrix.
 
-    A[cell, t, i, j] = M[p = (cell, slot i), q = (cell + offset_t, slot j)]
-    with offset_t the t-th element of _offsets(d).  Entries whose endpoints
-    are pad slots or out of grid are zero."""
+    Canonical layout is the APPLY layout A[cell, i, t*c + j] =
+    M[p = (cell, slot i), q = (cell + offset_t, slot j)] with offset_t the
+    t-th element of _offsets(d).  The logically-4-D (ncells, 3^d, c, c)
+    form pads BOTH minor dims to the TPU tile (c=46 -> (48, 128): a
+    measured 2.9x HBM expansion, 4.3 GB per factor at n=1e6 — the r5 OOM,
+    .r5_g_1e6e.log); the flattened last axis pads ~1.2x instead and is
+    exactly what the contraction reads.  Entries whose endpoints are pad
+    slots or out of grid are zero."""
 
-    A: jnp.ndarray          # (ncells, 3^d, c, c)
+    A: jnp.ndarray          # (ncells, c, 3^d * c)
 
 
 def stencil_matvec(dev: CellGridDev, sm: StencilMatrix, xs, *,
@@ -309,9 +314,7 @@ def stencil_matvec(dev: CellGridDev, sm: StencilMatrix, xs, *,
     output in the same order."""
     padded = pad_cells_user(dev, xs) if user_order else pad_cells(dev, xs)
     nbr = stencil_neighbors(dev, padded)
-    c = dev.c
-    ncells = dev.ncells
-    Ai = jnp.swapaxes(sm.A, 1, 2).reshape(ncells, c, dev.noffs * c)
+    Ai = sm.A
     acc = jnp.promote_types(Ai.dtype, jnp.float32)
     if nbr.ndim == 2:
         # broadcast-multiply + reduce (VPU): measured 2x the einsum form on
@@ -329,22 +332,24 @@ def stencil_matvec(dev: CellGridDev, sm: StencilMatrix, xs, *,
 def stencil_transpose(dev: CellGridDev, sm: StencilMatrix) -> StencilMatrix:
     """A^T in stencil form via shifted slices (no scatter).
 
-    (M')[q, p] = M[p, q]: A_T[cell, t, j, i] = A[cell + offset_t, rev(t), i, j]
-    where rev(t) indexes -offset_t (the offsets list is sign-symmetric, so
-    rev(t) = 3^d - 1 - t)."""
+    (M')[q, p] = M[p, q]: A_T[cell, j, t*c + i] =
+    A[cell + offset_t, i, rev(t)*c + j] where rev(t) indexes -offset_t
+    (the offsets list is sign-symmetric, so rev(t) = 3^d - 1 - t).  A
+    setup-time dense transform; the relayout through the 4-D view is
+    transient."""
     c = dev.c
     offs = _offsets(dev.d)
-    sp = sm.A.reshape(*dev.shape, dev.noffs, c, c)
+    sp = sm.A.reshape(*dev.shape, c, dev.noffs, c)
     pads = [(1, 1)] * dev.d + [(0, 0), (0, 0), (0, 0)]
     xp = jnp.pad(sp, pads)
     outs = []
     for t, off in enumerate(offs):
         t_rev = len(offs) - 1 - t
         sl = tuple(slice(1 + o, 1 + o + s) for o, s in zip(off, dev.shape))
-        blk = xp[sl + (t_rev,)]              # (*shape, c, c) = A[cell+off, -off]
-        outs.append(jnp.swapaxes(blk, -1, -2))
-    AT = jnp.stack(outs, axis=dev.d)
-    return StencilMatrix(A=AT.reshape(dev.ncells, dev.noffs, c, c))
+        blk = xp[sl][..., :, t_rev, :]       # (*shape, c_i, c_j)
+        outs.append(jnp.swapaxes(blk, -1, -2))   # -> (*shape, c_j, c_i)
+    AT = jnp.stack(outs, axis=dev.d + 1)         # (*shape, c_j, 3^d, c_i)
+    return StencilMatrix(A=AT.reshape(dev.ncells, c, dev.noffs * c))
 
 
 # --- ELL -> stencil embedding ----------------------------------------------
@@ -506,6 +511,6 @@ def stencil_embed(dev: CellGridDev, emb: StencilEmbed, val, *,
             (vp.reshape(nch, chunk, c, emb.lfil, m),
              sp.reshape(nch, chunk, c, emb.lfil)),
         ).reshape(padc, c, width, m)[:ncells]
-    A = jnp.swapaxes(A2.reshape(ncells, c, dev.noffs, c, m), 1, 2)
-    mats = [StencilMatrix(A=A[..., j]) for j in range(m)]
+    # A2 is already the canonical apply layout (ncells, c, 3^d c)
+    mats = [StencilMatrix(A=A2[..., j]) for j in range(m)]
     return mats if multi else mats[0]

@@ -613,8 +613,7 @@ def _nf_direct_values(sten: NfStencilDirect, kind: str, params, scale,
     mats = []
     for p in parts:
         M = p.reshape(padc, c, w9)[:ncells]             # M[cell, i, t*c+j]
-        A = jnp.swapaxes(M.reshape(ncells, c, dev.noffs, c), 1, 2)
-        mats.append(cg.StencilMatrix(A=A))
+        mats.append(cg.StencilMatrix(A=M))              # canonical layout
     A_k = mats[0]
     A_l = mats[1] if len(mats) > 1 else None
     return NfStencilEntry(dev=dev, A_k=A_k, A_l=A_l,
@@ -638,522 +637,6 @@ class NfStencilEntry(NamedTuple):
     exc_cols: object
     exc_v_k: object        # (ne,) exception values (kernel set)
     exc_v_l: object        # (ne,) or None
-
-
-def _nf_stencil_from_pattern(x_np, idx, mask, *, target_occupancy=None,
-                             max_width_factor: int = 32):
-    """HOST: build (CellGridDev, StencilEmbed) for one window's pattern.
-
-    x_np: (n, d) scaled window points (numpy); idx/mask: the window's
-    lower-tri KNN pattern in user order.  The pitch comes from the
-    occupancy target; pattern edges longer than one cell hop (the early
-    rows of a nearest-PRECEDING pattern) ride the exception list.  Returns
-    None when the grid degenerates (clustered/duplicate data) or the
-    stencil row width exceeds max_width_factor * lfil — caller keeps the
-    ELL apply."""
-    from . import cellgrid as cg
-
-    idx = np.asarray(idx)
-    mask = np.asarray(mask)
-    lfil = idx.shape[1]
-    occ = target_occupancy if target_occupancy is not None else lfil
-    grid = cg.build_cell_grid(x_np, target_occupancy=float(occ))
-    if grid is None or grid.noffs * grid.c > max_width_factor * lfil:
-        return None
-    emb = cg.ell_stencil_embed_plan(grid, idx, mask, sorted_idx=False)
-    if emb is None:
-        return None
-    return NfStencil(dev=cg.to_device(grid), emb=emb)
-
-
-def additive_nearfield_stencil_direct(geom, kind: str, nearfield_lfil=None,
-                                      *, max_width_factor: int = 48):
-    """HOST: per-group tuples of NfStencilDirect for d <= 2 windows.
-
-    nearfield_lfil sizes the radius via the cell occupancy (occ ~ lfil/3
-    so the in-radius degree ~ lfil).  Returns None when any window's grid
-    degenerates (global decision).  d=3 groups get None entries (they ride
-    the table path with ELL near-field)."""
-    from . import cellgrid as cg
-
-    out = []
-    for dw, order, bg in geom.groups:
-        n = bg.x.shape[1]
-        d = bg.x.shape[2]
-        lfil = _resolve_nf_lfil(kind, nearfield_lfil, n, d)
-        if lfil == 0 or d == 3:
-            out.append(None)
-            continue
-        entries = []
-        for w in range(bg.x.shape[0]):
-            x_np = np.asarray(bg.x[w])
-            occ = max(4.0, lfil / 3.0)
-            grid = cg.build_cell_grid(x_np, target_occupancy=occ)
-            if grid is None or grid.noffs * grid.c > max_width_factor * max(lfil, 8):
-                return None
-            dev = cg.to_device(grid)
-            Xpad = jnp.stack(
-                [cg.pad_cells_user(dev, bg.x[w][:, j]) for j in range(d)],
-                axis=-1,
-            )
-            nbmask = cg.stencil_neighbors(
-                dev, dev.padmask.astype(jnp.float32)
-            ) > 0.5
-            entries.append(NfStencilDirect(dev=dev, Xpad=Xpad, nbmask=nbmask,
-                                           rho=float(grid.h)))
-        out.append(tuple(entries))
-    return tuple(out)
-
-
-def _nf_direct_values(sten: NfStencilDirect, kind: str, params, scale,
-                      b, db_l, require_grad: bool,
-                      cell_chunk: Optional[int] = None):
-    """DEVICE (jit-safe): StencilMatrix value sets for a direct stencil.
-
-    Per cell chunk: pair offsets from the padded coords via shifted slices,
-    exact kernel minus the trigpoly (chunked phase tables), tapered by
-    (1 - r/rho)^2 — the same formula as nearfield_correction on the radius
-    support, with the ELL layout skipped entirely."""
-    from . import cellgrid as cg
-
-    dev = sten.dev
-    c = dev.c
-    w9 = dev.noffs * c
-    d = sten.Xpad.shape[-1]
-    ncells = dev.ncells
-    nbr_x = cg.stencil_neighbors(dev, sten.Xpad)        # (ncells, 3^d c, d)
-    rho = sten.rho
-    if cell_chunk is None:
-        # bound the trigpoly phase transient (pairs, d, N) at ~200 MB
-        N = b.shape[0]
-        pairs_budget = max(1, 50_000_000 // max(d * N, 1))
-        cell_chunk = max(1, pairs_budget // max(c * w9, 1))
-
-    def one_chunk(args):
-        Xp_c, nb_c, nbm_c = args
-        D = Xp_c[:, :, None, :] - nb_c[:, None, :, :]   # (cc, c, w9, d)
-        r2s = jnp.sum(D * D, axis=3)
-        r2_true = r2s / (scale * scale)
-        phi, dphi_l = _BASE_KERNELS[kind](r2_true, params.l)
-        sets = [b, db_l] if require_grad else [b]
-        tps = _trigpoly_eval_multi(sets, D.reshape(-1, d))
-        r = jnp.sqrt(r2s)
-        w = jnp.square(jnp.maximum(1.0 - r / rho, 0.0))
-        m = nbm_c[:, None, :] & (r2s <= rho * rho)
-        outs = []
-        for src, tp_f in zip([phi, dphi_l][: len(sets)], tps):
-            v = jnp.where(m, (src - tp_f.reshape(r2s.shape)) * w, 0.0)
-            outs.append(v)
-        return tuple(outs)
-
-    nch = -(-ncells // cell_chunk)
-    padc = nch * cell_chunk
-    Xp = jnp.zeros((padc, c, d), sten.Xpad.dtype).at[:ncells].set(sten.Xpad)
-    Nb = jnp.zeros((padc, w9, d), nbr_x.dtype).at[:ncells].set(nbr_x)
-    Nm = jnp.zeros((padc, w9), bool).at[:ncells].set(sten.nbmask)
-    parts = jax.lax.map(
-        one_chunk,
-        (Xp.reshape(nch, cell_chunk, c, d),
-         Nb.reshape(nch, cell_chunk, w9, d),
-         Nm.reshape(nch, cell_chunk, w9)),
-    )
-    mats = []
-    for p in parts:
-        M = p.reshape(padc, c, w9)[:ncells]             # M[cell, i, t*c+j]
-        A = jnp.swapaxes(M.reshape(ncells, c, dev.noffs, c), 1, 2)
-        mats.append(cg.StencilMatrix(A=A))
-    A_k = mats[0]
-    A_l = mats[1] if len(mats) > 1 else None
-    return NfStencilEntry(dev=dev, A_k=A_k, A_l=A_l,
-                          exc_rows=jnp.zeros((1,), jnp.int32),
-                          exc_cols=jnp.zeros((1,), jnp.int32),
-                          exc_v_k=jnp.zeros((1,), A_k.A.dtype),
-                          exc_v_l=(jnp.zeros((1,), A_k.A.dtype)
-                                   if A_l is not None else None))
-
-
-class NfStencilEntry(NamedTuple):
-    """Per-window embedded near-field operator (lives in PackedNDFT.nf*).
-
-    exc_*: the pattern's few out-of-stencil edges (cellgrid.StencilEmbed
-    exception list) applied as a tiny symmetric COO side term."""
-
-    dev: object            # cellgrid.CellGridDev
-    A_k: object            # StencilMatrix of the kernel correction
-    A_l: object            # StencilMatrix of the dk/dl correction (or None)
-    exc_rows: object
-    exc_cols: object
-    exc_v_k: object        # (ne,) exception values (kernel set)
-    exc_v_l: object        # (ne,) or None
-
-
-def _nf_stencil_from_pattern(x_np, idx, mask, *, target_occupancy=None,
-                             max_width_factor: int = 32):
-    """HOST: build (CellGridDev, StencilEmbed) for one window's pattern.
-
-    x_np: (n, d) scaled window points (numpy); idx/mask: the window's
-    lower-tri KNN pattern in user order.  The pitch comes from the
-    occupancy target; pattern edges longer than one cell hop (the early
-    rows of a nearest-PRECEDING pattern) ride the exception list.  Returns
-    None when the grid degenerates (clustered/duplicate data) or the
-    stencil row width exceeds max_width_factor * lfil — caller keeps the
-    ELL apply."""
-    from . import cellgrid as cg
-
-    idx = np.asarray(idx)
-    mask = np.asarray(mask)
-    lfil = idx.shape[1]
-    occ = target_occupancy if target_occupancy is not None else lfil
-    grid = cg.build_cell_grid(x_np, target_occupancy=float(occ))
-    if grid is None or grid.noffs * grid.c > max_width_factor * lfil:
-        return None
-    emb = cg.ell_stencil_embed_plan(grid, idx, mask, sorted_idx=False)
-    if emb is None:
-        return None
-    return NfStencil(dev=cg.to_device(grid), emb=emb)
-
-
-def _radius_stencil_one(x_np, lfil_hint: int, *, max_width_factor: int = 32):
-    """HOST: (grid pattern, NfStencil) for one window via the radius support.
-
-    The near-field support is RADIUS-based (the reference's eps_I
-    semantics, nfft_interface.c:18-27) and derived from the cell grid
-    itself, so it is symmetric by construction and exception-free: pitch h
-    sized so the in-radius degree ~ lfil_hint, rho = h.  Returns
-    (idx, mask, NfStencil) or None on degenerate data."""
-    from . import cellgrid as cg
-
-    occ = max(4.0, lfil_hint / 3.0)
-    grid = cg.build_cell_grid(x_np, target_occupancy=occ)
-    if grid is None or grid.noffs * grid.c > max_width_factor * max(lfil_hint, 8):
-        return None
-    idx, mask = cg.radius_pattern(grid, x_np)
-    if idx.shape[1] > max_width_factor * max(lfil_hint, 8):
-        return None
-    return idx, mask, grid
-
-
-def _nf_direct_values(sten: NfStencilDirect, kind: str, params, scale,
-                      b, db_l, require_grad: bool,
-                      cell_chunk: Optional[int] = None):
-    """DEVICE (jit-safe): StencilMatrix value sets for a direct stencil.
-
-    Per cell chunk: pair offsets from the padded coords via shifted slices,
-    exact kernel minus the trigpoly (chunked phase tables), tapered by
-    (1 - r/rho)^2 — the same formula as nearfield_correction on the radius
-    support, with the ELL layout skipped entirely."""
-    from . import cellgrid as cg
-
-    dev = sten.dev
-    c = dev.c
-    w9 = dev.noffs * c
-    d = sten.Xpad.shape[-1]
-    ncells = dev.ncells
-    nbr_x = cg.stencil_neighbors(dev, sten.Xpad)        # (ncells, 3^d c, d)
-    rho = sten.rho
-    if cell_chunk is None:
-        # bound the trigpoly phase transient (pairs, d, N) at ~200 MB
-        N = b.shape[0]
-        pairs_budget = max(1, 50_000_000 // max(d * N, 1))
-        cell_chunk = max(1, pairs_budget // max(c * w9, 1))
-
-    def one_chunk(args):
-        Xp_c, nb_c, nbm_c = args
-        D = Xp_c[:, :, None, :] - nb_c[:, None, :, :]   # (cc, c, w9, d)
-        r2s = jnp.sum(D * D, axis=3)
-        r2_true = r2s / (scale * scale)
-        phi, dphi_l = _BASE_KERNELS[kind](r2_true, params.l)
-        sets = [b, db_l] if require_grad else [b]
-        tps = _trigpoly_eval_multi(sets, D.reshape(-1, d))
-        r = jnp.sqrt(r2s)
-        w = jnp.square(jnp.maximum(1.0 - r / rho, 0.0))
-        m = nbm_c[:, None, :] & (r2s <= rho * rho)
-        outs = []
-        for src, tp_f in zip([phi, dphi_l][: len(sets)], tps):
-            v = jnp.where(m, (src - tp_f.reshape(r2s.shape)) * w, 0.0)
-            outs.append(v)
-        return tuple(outs)
-
-    nch = -(-ncells // cell_chunk)
-    padc = nch * cell_chunk
-    Xp = jnp.zeros((padc, c, d), sten.Xpad.dtype).at[:ncells].set(sten.Xpad)
-    Nb = jnp.zeros((padc, w9, d), nbr_x.dtype).at[:ncells].set(nbr_x)
-    Nm = jnp.zeros((padc, w9), bool).at[:ncells].set(sten.nbmask)
-    parts = jax.lax.map(
-        one_chunk,
-        (Xp.reshape(nch, cell_chunk, c, d),
-         Nb.reshape(nch, cell_chunk, w9, d),
-         Nm.reshape(nch, cell_chunk, w9)),
-    )
-    mats = []
-    for p in parts:
-        M = p.reshape(padc, c, w9)[:ncells]             # M[cell, i, t*c+j]
-        A = jnp.swapaxes(M.reshape(ncells, c, dev.noffs, c), 1, 2)
-        mats.append(cg.StencilMatrix(A=A))
-    A_k = mats[0]
-    A_l = mats[1] if len(mats) > 1 else None
-    return NfStencilEntry(dev=dev, A_k=A_k, A_l=A_l,
-                          exc_rows=jnp.zeros((1,), jnp.int32),
-                          exc_cols=jnp.zeros((1,), jnp.int32),
-                          exc_v_k=jnp.zeros((1,), A_k.A.dtype),
-                          exc_v_l=(jnp.zeros((1,), A_k.A.dtype)
-                                   if A_l is not None else None))
-
-
-class NfStencilEntry(NamedTuple):
-    """Per-window embedded near-field operator (lives in PackedNDFT.nf*).
-
-    exc_*: the pattern's few out-of-stencil edges (cellgrid.StencilEmbed
-    exception list) applied as a tiny symmetric COO side term."""
-
-    dev: object            # cellgrid.CellGridDev
-    A_k: object            # StencilMatrix of the kernel correction
-    A_l: object            # StencilMatrix of the dk/dl correction (or None)
-    exc_rows: object
-    exc_cols: object
-    exc_v_k: object        # (ne,) exception values (kernel set)
-    exc_v_l: object        # (ne,) or None
-
-
-def _nf_stencil_from_pattern(x_np, idx, mask, *, target_occupancy=None,
-                             max_width_factor: int = 32):
-    """HOST: build (CellGridDev, StencilEmbed) for one window's pattern.
-
-    x_np: (n, d) scaled window points (numpy); idx/mask: the window's
-    lower-tri KNN pattern in user order.  The pitch comes from the
-    occupancy target; pattern edges longer than one cell hop (the early
-    rows of a nearest-PRECEDING pattern) ride the exception list.  Returns
-    None when the grid degenerates (clustered/duplicate data) or the
-    stencil row width exceeds max_width_factor * lfil — caller keeps the
-    ELL apply."""
-    from . import cellgrid as cg
-
-    idx = np.asarray(idx)
-    mask = np.asarray(mask)
-    lfil = idx.shape[1]
-    occ = target_occupancy if target_occupancy is not None else lfil
-    grid = cg.build_cell_grid(x_np, target_occupancy=float(occ))
-    if grid is None or grid.noffs * grid.c > max_width_factor * lfil:
-        return None
-    emb = cg.ell_stencil_embed_plan(grid, idx, mask, sorted_idx=False)
-    if emb is None:
-        return None
-    return NfStencil(dev=cg.to_device(grid), emb=emb)
-
-
-def additive_nearfield_stencil_direct(geom, kind: str, nearfield_lfil=None,
-                                      *, max_width_factor: int = 48):
-    """HOST: per-group tuples of NfStencilDirect for d <= 2 windows.
-
-    nearfield_lfil sizes the radius via the cell occupancy (occ ~ lfil/3
-    so the in-radius degree ~ lfil).  Returns None when any window's grid
-    degenerates (global decision).  d=3 groups get None entries (they ride
-    the table path with ELL near-field)."""
-    from . import cellgrid as cg
-
-    out = []
-    for dw, order, bg in geom.groups:
-        n = bg.x.shape[1]
-        d = bg.x.shape[2]
-        lfil = _resolve_nf_lfil(kind, nearfield_lfil, n, d)
-        if lfil == 0 or d == 3:
-            out.append(None)
-            continue
-        entries = []
-        for w in range(bg.x.shape[0]):
-            x_np = np.asarray(bg.x[w])
-            occ = max(4.0, lfil / 3.0)
-            grid = cg.build_cell_grid(x_np, target_occupancy=occ)
-            if grid is None or grid.noffs * grid.c > max_width_factor * max(lfil, 8):
-                return None
-            dev = cg.to_device(grid)
-            Xpad = jnp.stack(
-                [cg.pad_cells_user(dev, bg.x[w][:, j]) for j in range(d)],
-                axis=-1,
-            )
-            nbmask = cg.stencil_neighbors(
-                dev, dev.padmask.astype(jnp.float32)
-            ) > 0.5
-            entries.append(NfStencilDirect(dev=dev, Xpad=Xpad, nbmask=nbmask,
-                                           rho=float(grid.h)))
-        out.append(tuple(entries))
-    return tuple(out)
-
-
-def _nf_direct_values(sten: NfStencilDirect, kind: str, params, scale,
-                      b, db_l, require_grad: bool,
-                      cell_chunk: Optional[int] = None):
-    """DEVICE (jit-safe): StencilMatrix value sets for a direct stencil.
-
-    Per cell chunk: pair offsets from the padded coords via shifted slices,
-    exact kernel minus the trigpoly (chunked phase tables), tapered by
-    (1 - r/rho)^2 — the same formula as nearfield_correction on the radius
-    support, with the ELL layout skipped entirely."""
-    from . import cellgrid as cg
-
-    dev = sten.dev
-    c = dev.c
-    w9 = dev.noffs * c
-    d = sten.Xpad.shape[-1]
-    ncells = dev.ncells
-    nbr_x = cg.stencil_neighbors(dev, sten.Xpad)        # (ncells, 3^d c, d)
-    rho = sten.rho
-    if cell_chunk is None:
-        # bound the trigpoly phase transient (pairs, d, N) at ~200 MB
-        N = b.shape[0]
-        pairs_budget = max(1, 50_000_000 // max(d * N, 1))
-        cell_chunk = max(1, pairs_budget // max(c * w9, 1))
-
-    def one_chunk(args):
-        Xp_c, nb_c, nbm_c = args
-        D = Xp_c[:, :, None, :] - nb_c[:, None, :, :]   # (cc, c, w9, d)
-        r2s = jnp.sum(D * D, axis=3)
-        r2_true = r2s / (scale * scale)
-        phi, dphi_l = _BASE_KERNELS[kind](r2_true, params.l)
-        sets = [b, db_l] if require_grad else [b]
-        tps = _trigpoly_eval_multi(sets, D.reshape(-1, d))
-        r = jnp.sqrt(r2s)
-        w = jnp.square(jnp.maximum(1.0 - r / rho, 0.0))
-        m = nbm_c[:, None, :] & (r2s <= rho * rho)
-        outs = []
-        for src, tp_f in zip([phi, dphi_l][: len(sets)], tps):
-            v = jnp.where(m, (src - tp_f.reshape(r2s.shape)) * w, 0.0)
-            outs.append(v)
-        return tuple(outs)
-
-    nch = -(-ncells // cell_chunk)
-    padc = nch * cell_chunk
-    Xp = jnp.zeros((padc, c, d), sten.Xpad.dtype).at[:ncells].set(sten.Xpad)
-    Nb = jnp.zeros((padc, w9, d), nbr_x.dtype).at[:ncells].set(nbr_x)
-    Nm = jnp.zeros((padc, w9), bool).at[:ncells].set(sten.nbmask)
-    parts = jax.lax.map(
-        one_chunk,
-        (Xp.reshape(nch, cell_chunk, c, d),
-         Nb.reshape(nch, cell_chunk, w9, d),
-         Nm.reshape(nch, cell_chunk, w9)),
-    )
-    mats = []
-    for p in parts:
-        M = p.reshape(padc, c, w9)[:ncells]             # M[cell, i, t*c+j]
-        A = jnp.swapaxes(M.reshape(ncells, c, dev.noffs, c), 1, 2)
-        mats.append(cg.StencilMatrix(A=A))
-    A_k = mats[0]
-    A_l = mats[1] if len(mats) > 1 else None
-    return NfStencilEntry(dev=dev, A_k=A_k, A_l=A_l,
-                          exc_rows=jnp.zeros((1,), jnp.int32),
-                          exc_cols=jnp.zeros((1,), jnp.int32),
-                          exc_v_k=jnp.zeros((1,), A_k.A.dtype),
-                          exc_v_l=(jnp.zeros((1,), A_k.A.dtype)
-                                   if A_l is not None else None))
-
-
-class NfStencilEntry(NamedTuple):
-    """Per-window embedded near-field operator (lives in PackedNDFT.nf*).
-
-    exc_*: the pattern's few out-of-stencil edges (cellgrid.StencilEmbed
-    exception list) applied as a tiny symmetric COO side term."""
-
-    dev: object            # cellgrid.CellGridDev
-    A_k: object            # StencilMatrix of the kernel correction
-    A_l: object            # StencilMatrix of the dk/dl correction (or None)
-    exc_rows: object
-    exc_cols: object
-    exc_v_k: object        # (ne,) exception values (kernel set)
-    exc_v_l: object        # (ne,) or None
-
-
-def _nf_stencil_from_pattern(x_np, idx, mask, *, target_occupancy=None,
-                             max_width_factor: int = 32):
-    """HOST: build (CellGridDev, StencilEmbed) for one window's pattern.
-
-    x_np: (n, d) scaled window points (numpy); idx/mask: the window's
-    lower-tri KNN pattern in user order.  The pitch comes from the
-    occupancy target; pattern edges longer than one cell hop (the early
-    rows of a nearest-PRECEDING pattern) ride the exception list.  Returns
-    None when the grid degenerates (clustered/duplicate data) or the
-    stencil row width exceeds max_width_factor * lfil — caller keeps the
-    ELL apply."""
-    from . import cellgrid as cg
-
-    idx = np.asarray(idx)
-    mask = np.asarray(mask)
-    lfil = idx.shape[1]
-    occ = target_occupancy if target_occupancy is not None else lfil
-    grid = cg.build_cell_grid(x_np, target_occupancy=float(occ))
-    if grid is None or grid.noffs * grid.c > max_width_factor * lfil:
-        return None
-    emb = cg.ell_stencil_embed_plan(grid, idx, mask, sorted_idx=False)
-    if emb is None:
-        return None
-    return NfStencil(dev=cg.to_device(grid), emb=emb)
-
-
-def _radius_stencil_one(x_np, lfil_hint: int, *, max_width_factor: int = 32):
-    """HOST: (grid pattern, NfStencil) for one window via the radius support.
-
-    The near-field support is RADIUS-based (the reference's eps_I
-    semantics, nfft_interface.c:18-27) and derived from the cell grid
-    itself, so it is symmetric by construction and exception-free: pitch h
-    sized so the in-radius degree ~ lfil_hint, rho = h.  Returns
-    (idx, mask, NfStencil) or None on degenerate data."""
-    from . import cellgrid as cg
-
-    occ = max(4.0, lfil_hint / 3.0)
-    grid = cg.build_cell_grid(x_np, target_occupancy=occ)
-    if grid is None or grid.noffs * grid.c > max_width_factor * max(lfil_hint, 8):
-        return None
-    idx, mask = cg.radius_pattern(grid, x_np)
-    if idx.shape[1] > max_width_factor * max(lfil_hint, 8):
-        return None
-    return idx, mask, grid
-
-
-def additive_nearfield_radius_stencils(geom, kind: str, nearfield_lfil=None):
-    """HOST: radius-based near-field patterns + stencil plans per window.
-
-    Returns (nf_pats, stencils) where nf_pats has the
-    additive_nearfield_patterns tree shape with SYMMETRIC (idx, mask, True)
-    triples (each in-radius edge in both rows, self last — drop-in for the
-    ELL sym apply), and stencils matches for packed_ndft_plan(nf_stencils=).
-    Returns (None, None) when any window's grid degenerates (the stencil
-    decision is GLOBAL, like nf_sym): callers fall back to the KNN path.
-    """
-    pats_out, stens_out = [], []
-    for dw, order, bg in geom.groups:
-        n = bg.x.shape[1]
-        d = bg.x.shape[2]
-        lfil = _resolve_nf_lfil(kind, nearfield_lfil, n, d)
-        if lfil == 0:
-            pats_out.append(None)
-            stens_out.append(None)
-            continue
-        from . import cellgrid as cg
-
-        results = []
-        for w in range(bg.x.shape[0]):
-            r = _radius_stencil_one(np.asarray(bg.x[w]), lfil)
-            if r is None:
-                return None, None
-            results.append(r)
-        wmax = max(r[0].shape[1] for r in results)
-        Wg = len(results)
-        idxs = np.tile(np.arange(n, dtype=np.int32)[None, :, None], (Wg, 1, wmax))
-        masks = np.zeros((Wg, n, wmax), bool)
-        stens = []
-        for w, (idx, mask, grid) in enumerate(results):
-            lf = idx.shape[1]
-            # keep self in the LAST slot after padding (padded slots = self)
-            idxs[w, :, : lf - 1] = idx[:, :-1]
-            masks[w, :, : lf - 1] = mask[:, :-1]
-            masks[w, :, -1] = True
-            emb = cg.ell_stencil_embed_plan(grid, idxs[w], masks[w],
-                                            sorted_idx=False, max_exceptions=0)
-            if emb is None:
-                return None, None
-            stens.append(NfStencil(dev=cg.to_device(grid), emb=emb))
-        pats_out.append((jnp.asarray(idxs), jnp.asarray(masks), True))
-        stens_out.append(tuple(stens))
-    return tuple(pats_out), tuple(stens_out)
 
 
 def _nf_exc_apply(trip: NfStencilEntry, x, which: str):

@@ -182,6 +182,11 @@ def main():
             mv = lambda pn_, v: fs.packed_ndft_matvec(
                 pn_, v, interpret=interp, upcast=True, prec=prec)
             operand = pn
+            # free the table-path plan: the packed plan references only the
+            # point coords/weights, so the (d, n, 2P) geometry tables are
+            # dead weight (~0.7 GB at n=1e6 — part of an HBM OOM with the
+            # kdim-100 FGMRES workspace, .r5_g_1e6d.log)
+            del plan
         else:
             # NOT jitted: the solvers close over mv inside their own jit, and
             # the nested jit-in-jit form faults the tunneled backend on the
