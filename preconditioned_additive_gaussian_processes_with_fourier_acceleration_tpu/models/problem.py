@@ -100,7 +100,12 @@ class GPProblem:
     # accuracy — see ROOFLINE.md; SLQ probe noise dominates the loss
     # estimator anyway), None when the data is f64 (CPU parity runs).
     # Set None/'float32' to force full-precision tables; predict always
-    # builds f32 plans.
+    # builds f32 plans.  CAUTION: bf16 operators are for the SHORT-
+    # recurrence training loop (FGMRES kdim = 2*maxits ~ 20).  Deep Krylov
+    # solves (kdim ~ 50+) on a bf16 operator break the Arnoldi relation at
+    # noise*||y|| and the true residual DIVERGES (measured relres 49 at
+    # n=3e5 kdim=50 vs 0.13 with f32 tables, same code) — use f32 tables
+    # for solve benchmarks.
     fastsum_oversample: int = 2        # coefficient-grid oversampling (NN=2N)
     fastsum_nearfield_lfil: Optional[int] = None  # sparse near-field correction
     # (the eps_I role).  None = auto: 16 for matern12 (whose kink makes the
