@@ -334,22 +334,36 @@ def stencil_transpose(dev: CellGridDev, sm: StencilMatrix) -> StencilMatrix:
 
     (M')[q, p] = M[p, q]: A_T[cell, j, t*c + i] =
     A[cell + offset_t, i, rev(t)*c + j] where rev(t) indexes -offset_t
-    (the offsets list is sign-symmetric, so rev(t) = 3^d - 1 - t).  A
-    setup-time dense transform; the relayout through the 4-D view is
-    transient."""
+    (the offsets list is sign-symmetric, so rev(t) = 3^d - 1 - t).
+
+    Runs as a SEQUENTIAL loop over the 3^d offsets writing lane blocks of
+    one flat output buffer: materializing all per-offset (ncells, c, c)
+    blocks at once re-creates the tile-padded 4-D footprint this layout
+    exists to avoid (2.9x expansion — the r5 1e6 setup OOM,
+    .r5_g_1e6i.log)."""
     c = dev.c
-    offs = _offsets(dev.d)
-    sp = sm.A.reshape(*dev.shape, c, dev.noffs, c)
-    pads = [(1, 1)] * dev.d + [(0, 0), (0, 0), (0, 0)]
-    xp = jnp.pad(sp, pads)
-    outs = []
-    for t, off in enumerate(offs):
-        t_rev = len(offs) - 1 - t
-        sl = tuple(slice(1 + o, 1 + o + s) for o, s in zip(off, dev.shape))
-        blk = xp[sl][..., :, t_rev, :]       # (*shape, c_i, c_j)
-        outs.append(jnp.swapaxes(blk, -1, -2))   # -> (*shape, c_j, c_i)
-    AT = jnp.stack(outs, axis=dev.d + 1)         # (*shape, c_j, 3^d, c_i)
-    return StencilMatrix(A=AT.reshape(dev.ncells, c, dev.noffs * c))
+    noffs = dev.noffs
+    ncells = dev.ncells
+    offs = jnp.asarray(_offsets(dev.d), jnp.int32)     # (noffs, d)
+
+    def body(t, AT):
+        t_rev = noffs - 1 - t
+        Bt = jax.lax.dynamic_slice(
+            sm.A, (0, 0, t_rev * c), (ncells, c, c)
+        )                                               # A[:, i, rev*c + j]
+        BtT = jnp.swapaxes(Bt, 1, 2)                    # (ncells, c_j, c_i)
+        sp = BtT.reshape(*dev.shape, c, c)
+        xp = jnp.pad(sp, [(1, 1)] * dev.d + [(0, 0), (0, 0)])
+        zero = jnp.asarray(0, jnp.int32)
+        start = tuple(1 + offs[t, j] for j in range(dev.d)) + (zero, zero)
+        blk = jax.lax.dynamic_slice(
+            xp, start, (*dev.shape, c, c)
+        ).reshape(ncells, c, c)
+        return jax.lax.dynamic_update_slice(AT, blk, (0, 0, t * c))
+
+    AT0 = jnp.zeros_like(sm.A)
+    AT = jax.lax.fori_loop(0, noffs, body, AT0)
+    return StencilMatrix(A=AT)
 
 
 # --- ELL -> stencil embedding ----------------------------------------------
