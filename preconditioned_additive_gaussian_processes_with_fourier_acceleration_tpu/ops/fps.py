@@ -61,3 +61,33 @@ def fps_full_perm(X, k: int):
 
     res = fps(X, k)
     return expand_perm(res.perm, X.shape[0]), res
+
+
+def fps_host(X, k: int):
+    """HOST numpy farthest-point sampling (parallel-algorithm-1 semantics).
+
+    Plan-time landmark selection does not need the device: the O(nk)
+    relaxation is ~4e7 flops at n=1e5/k=200 — microseconds of numpy next
+    to a tunneled compile + k-step dispatch (measured ~10 s of the AFN
+    plan).  Same start rule as fps(): the point nearest the data mean.
+    Returns (perm (k,), dists (k,)) as numpy int64/float64.
+    """
+    import numpy as np
+
+    X = np.asarray(X)
+    n = X.shape[0]
+    k = min(k, n)
+    mean = X.mean(axis=0)
+    start = int(np.argmin(((X - mean) ** 2).sum(axis=1)))
+    perm = np.empty(k, np.int64)
+    dists = np.empty(k, np.float64)
+    perm[0] = start
+    dists[0] = np.inf
+    cur = ((X - X[start]) ** 2).sum(axis=1)
+    for j in range(1, k):
+        nxt = int(np.argmax(cur))
+        perm[j] = nxt
+        dists[j] = float(np.sqrt(cur[nxt]))
+        d2 = ((X - X[nxt]) ** 2).sum(axis=1)
+        np.minimum(cur, d2, out=cur)
+    return perm, dists

@@ -286,9 +286,14 @@ def afn_plan(
             jax.jit(lambda pv: expand_perm(pv[:k], n))(jnp.asarray(fps_prefix))
         )
     else:
-        perm = np.asarray(
-            jax.jit(lambda Xv: expand_perm(fps(Xv, k).perm, n))(X)
-        )
+        # host FPS: plan-time landmark selection is O(nk) numpy — next to
+        # nothing vs a tunneled compile + k-step device dispatch
+        from ..ops.fps import fps_host
+
+        pk, _ = fps_host(np.asarray(X), k)
+        rest = np.setdiff1d(np.arange(n, dtype=np.int64), pk,
+                            assume_unique=False)
+        perm = np.concatenate([pk, rest])
     if use_ran:
         pattern = (np.zeros((0, lfil), np.int32), np.zeros((0, lfil), bool))
         return AfnPlan(perm=perm, k=k, use_ran=use_ran, pattern=pattern)
