@@ -1437,9 +1437,13 @@ def packed_ndft_plan(plan: AdditiveFastsumPlan, *, table_dtype=None,
     # the forward kernel's f32 upcast of the L0 operand doubles the slab —
     # ~25 MB at block 8192 / rows 320, .r5_loss_profile3.log)
     if xT is not None:
+        # budget ~6 MB for the double-buffered slab pair: the kernels also
+        # hold an f32 upcast of the streamed block, so a 9 MB budget put
+        # the N=256 f32 config at 17 MB scoped VMEM (.r5_m12_1e5_final
+        # first attempt)
         bytes_el = 2 if table_dtype == jnp.bfloat16 else 4
         rows = xT.shape[0] * 2 * P
-        while block > 256 and rows * block * bytes_el * 2 > 9_000_000:
+        while block > 256 and rows * block * bytes_el * 2 > 6_000_000:
             block //= 2
 
     def trim2(W):
