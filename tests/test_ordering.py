@@ -142,3 +142,38 @@ def test_afn_plan_uses_fill_distance_rank():
     assert 1 <= plan.k <= 150
     assert plan.use_ran  # smooth kernel at n=300 is low rank
     assert sorted(plan.perm.tolist()) == list(range(n))
+
+
+def test_fps_host_matches_device():
+    """Host numpy FPS must select the same landmark set as the device fps
+    (same start rule + farthest-point relaxation; ties may reorder)."""
+    import numpy as np
+    from preconditioned_additive_gaussian_processes_with_fourier_acceleration_tpu.ops.fps import fps, fps_host
+
+    rng = np.random.default_rng(7)
+    X = jnp.asarray(rng.uniform(size=(500, 3)))
+    k = 40
+    dev = np.asarray(fps(X, k).perm)
+    host, dists = fps_host(np.asarray(X), k)
+    assert set(dev.tolist()) == set(host.tolist())
+    assert dists[1:].max() <= dists[1] + 1e-12  # distances non-increasing
+
+
+def test_knn_pattern_host_matches_device():
+    """cKDTree preceding-KNN agrees with the blocked-GEMM device pattern."""
+    import numpy as np
+    from preconditioned_additive_gaussian_processes_with_fourier_acceleration_tpu.ops.knn import (
+        knn_pattern, knn_pattern_host,
+    )
+
+    rng = np.random.default_rng(3)
+    X = rng.uniform(size=(400, 2))
+    lfil = 8
+    di, dm = knn_pattern(jnp.asarray(X), lfil)
+    hi, hm = knn_pattern_host(X, lfil)
+    di, dm = np.asarray(di), np.asarray(dm)
+    assert (dm == hm).all()
+    # rows are index-sorted on both sides; identical sets expected except
+    # distance ties — compare as sets per row
+    same = sum(set(di[i][dm[i]]) == set(hi[i][hm[i]]) for i in range(400))
+    assert same >= 398  # allow <=2 tie-order rows
